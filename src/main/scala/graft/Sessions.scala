@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults: AQE on
+  * (runtime re-plan + skew-join splitting), shuffle partitions sized to
+  * cores (not the 200 default), UTC session time zone for oracle parity.
+  */
+object Sessions {
+  def local(cores: Int, shufflePartitions: Int = -1, appName: String = "graft"): SparkSession = {
+    val sp = if (shufflePartitions > 0) shufflePartitions else cores
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", sp.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .getOrCreate()
+  }
+}

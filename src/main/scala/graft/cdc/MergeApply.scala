@@ -1,0 +1,166 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.{CommitResult, LakeTable}
+import graft.model.Model
+
+/** Per-micro-batch outcome, used for metrics + lineage emission. */
+final case class BatchStats(
+    epochId: Long,
+    applied: Boolean,
+    snapshotId: Long,
+    inputEvents: Long,
+    dedupedKeys: Long,
+    touchedBuckets: Int,
+    schemaVer: Int,
+    maxLsn: Long,
+    liveRows: Long,
+    durationMs: Long)
+
+/** The engine core: apply one micro-batch of change events to a LakeTable
+  * as a key-partitioned MERGE upsert.
+  *
+  * Semantics (north rule):
+  *   - per-micro-batch dedup via monotonically-ordered LSNs
+  *     (`max_by(struct(*), lsn)` per `(conv_id, turn_idx)`)
+  *   - last-writer-wins across batches too: the table stores the winning
+  *     `_lsn` per row, so a late out-of-order event with a lower LSN than
+  *     what is already applied loses — including against tombstones, so a
+  *     late update cannot resurrect a deleted key
+  *   - copy-on-write at bucket granularity: only buckets whose keys are
+  *     touched by the batch are rewritten (bounded write amplification)
+  *   - exactly-once: the snapshot commit is fenced by `epochId` — a
+  *     replayed foreachBatch invocation after a crash is a no-op
+  *   - schema evolution: a batch carrying a newer `schema_ver` advances
+  *     the table schema (versioned registry, applied per batch)
+  *   - skew: hot conversations are spread with a salted repartition on
+  *     (bucket, hash(conv_id, turn_idx) % salt) before the write, and the
+  *     session enables AQE skew-join splitting (see [[graft.Sessions]])
+  *
+  * Reference analog for the whole stage: MERGE matched/not-matched upsert +
+  * content-hash idempotent batch loads (reference:
+  * Scripts/python/enhanced_main_etl.py:778-929,
+  * Docs/etl_requirements_reviewed_by_sr.md:162-165).
+  */
+object MergeApply {
+
+  /** Apply one batch of change events (wire schema
+    * [[Model.changeEventSchema]]) to `table`. `epochId < 0` disables the
+    * fence (ad-hoc batch mode); streaming passes the foreachBatch epoch.
+    */
+  def applyBatch(
+      table: LakeTable,
+      events: DataFrame,
+      epochId: Long,
+      saltFactor: Int = 4): BatchStats = {
+    val t0 = System.nanoTime()
+    val spark = table.spark
+    val cur = table.current
+
+    // Fence first: replaying an already-committed epoch must cost nothing.
+    if (epochId >= 0 && cur.epochId >= epochId)
+      return BatchStats(epochId, applied = false, cur.id, 0L, 0L, 0, cur.schemaVer,
+        cur.maxLsn, cur.rows, elapsedMs(t0))
+
+    // One driver-side pass for batch-level facts (count / max lsn / max ver).
+    val head = events.agg(
+      count(lit(1)).as("n"),
+      max("lsn").as("maxLsn"),
+      max("schema_ver").as("maxVer")).collect()(0)
+    val inputEvents = head.getAs[Long]("n")
+    if (inputEvents == 0L)
+      return BatchStats(epochId, applied = false, cur.id, 0L, 0L, 0, cur.schemaVer,
+        cur.maxLsn, cur.rows, elapsedMs(t0))
+    val batchMaxLsn = head.getAs[Long]("maxLsn")
+    val newVer = math.max(cur.schemaVer, head.getAs[Int]("maxVer"))
+    val target = Model.schemaRegistry(newVer)
+    val b = cur.numBuckets
+
+    // 1. Within-batch LSN dedup: keep the max-LSN event per key. Duplicate
+    //    re-emissions share an LSN and an identical payload, so ties are safe.
+    val evCols = events.columns
+    val latest = events
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(max_by(struct(evCols.map(col).toSeq: _*), col("lsn")).as("e"))
+      .select(col("e.*"))
+
+    // Conform batch events to the (possibly evolved) target schema + merge cols.
+    val batchRows = conformEvents(latest, target)
+
+    // 2. Touched buckets — drives copy-on-write scope. The distinct is over
+    //    at most `numBuckets` values, so the collect is tiny.
+    val touched: Set[Int] = batchRows
+      .select(bucketOf(col("conv_id"), b).as("bk")).distinct()
+      .collect().map(_.getInt(0)).toSet
+
+    // 3. Current rows of touched buckets, viewed as pseudo-events carrying
+    //    their stored winning `_lsn` (enables cross-batch LWW).
+    val currentRows = LakeTable.conform(
+      table.readConformed(cur, Some(touched)),
+      table.physicalSchema(cur.schemaVer), StructType(target.fields ++ LakeTable.internalCols))
+
+    // 4. Resolve: union current + incoming, keep max-LSN row per key.
+    val mergeCols = target.fieldNames.toSeq ++ Seq("_lsn", "_deleted")
+    val resolved = currentRows.select(mergeCols.map(col): _*)
+      .unionByName(batchRows.select(mergeCols.map(col): _*))
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(max_by(struct(mergeCols.map(col): _*), col("_lsn")).as("r"))
+      .select(col("r.*"))
+
+    // 5. Salted write: spread hot buckets across up to `saltFactor` tasks,
+    //    then split files back out by bucket via dynamic partitioning.
+    val withBucket = resolved.withColumn("_bucket", bucketOf(col("conv_id"), b))
+    val parts = math.max(1, math.min(touched.size * saltFactor,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt))
+    val salted = withBucket.repartition(parts, col("_bucket"),
+      pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltFactor)))
+    val files = table.writeDataFiles(salted, newVer)
+
+    // 6. Stats from the written files (cheap: single boolean column scan),
+    //    then the atomic fenced commit.
+    val written = spark.read
+      .schema(StructType(target.fields ++ LakeTable.internalCols))
+      .parquet(files.map(_.path): _*)
+      .agg(count(lit(1)).as("n"), sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
+      .collect()(0)
+    val newKeys = written.getAs[Long]("n")
+    val newLive = Option(written.getAs[Any]("live")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val oldLive = table.readConformed(cur, Some(touched))
+      .filter(!col("_deleted")).count()
+
+    val res: CommitResult = table.commit(files, touched, epochId, newVer,
+      rowDelta = newLive - oldLive, maxLsnSeen = batchMaxLsn)
+    BatchStats(epochId, res.applied, res.snapshot.id, inputEvents, newKeys,
+      touched.size, newVer, res.snapshot.maxLsn, res.snapshot.rows, elapsedMs(t0))
+  }
+
+  /** Hidden-partitioning bucket expression (Iceberg-style bucket transform). */
+  def bucketOf(convId: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(convId), lit(numBuckets)).cast(IntegerType)
+
+  /** Project wire-schema events onto the target table schema + merge
+    * columns. Deletes become tombstones with null payloads; columns the
+    * target schema doesn't know yet (e.g. `tool` before v2) are dropped;
+    * columns the events don't carry are null-filled; `turn_idx` widens by
+    * cast when the target has evolved to long.
+    */
+  private def conformEvents(events: DataFrame, target: StructType): DataFrame = {
+    val have = events.columns.toSet
+    val isDelete = col("op") === "D"
+    val payload = target.fields.toSeq.map { f =>
+      val base =
+        if (have.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)
+      if (Model.keyCols.contains(f.name)) base.as(f.name)
+      else when(isDelete, lit(null).cast(f.dataType)).otherwise(base).as(f.name)
+    }
+    events.select(payload ++ Seq(
+      col("lsn").as("_lsn"),
+      isDelete.as("_deleted")): _*)
+  }
+
+  private def elapsedMs(t0: Long): Long = (System.nanoTime() - t0) / 1000000L
+}

@@ -1,0 +1,353 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Model
+
+/** One immutable data file of a snapshot. `bucket` is the hash-bucket of
+  * `conv_id` the file belongs to (hidden partitioning); `schemaVer` is the
+  * writer schema version recorded so old files can be conformed (cast /
+  * null-filled) to the current table schema on read.
+  */
+final case class FileEntry(path: String, bucket: Int, schemaVer: Int, rows: Long)
+
+/** A committed table snapshot. The table's commit protocol gives the
+  * load-bearing subset of Iceberg semantics the north rule needs, built
+  * from scratch (no lake-format jars exist in this sandbox):
+  *
+  *   - atomic snapshot commits (tmp-write + atomic rename of `_current`)
+  *   - time-travelable snapshot ids (`snap-NNN.json` manifests kept)
+  *   - schema-evolution metadata (`schemaVer` against a versioned registry)
+  *   - exactly-once fencing (`epochId`; re-commit of an epoch is a no-op)
+  *   - snapshot expiry + orphan-file GC
+  *
+  * Reference analog: content-hash `batch_id` + PK-enforced idempotent
+  * loads (reference: Scripts/database_schema.sql:211,
+  * Docs/etl_requirements_reviewed_by_sr.md:162-165).
+  */
+final case class Snapshot(
+    id: Long,
+    parent: Long,
+    epochId: Long,
+    schemaVer: Int,
+    numBuckets: Int,
+    rows: Long,
+    maxLsn: Long,
+    files: Seq[FileEntry])
+
+/** Result of a commit attempt: either applied (new snapshot) or fenced
+  * (this epoch was already committed — idempotent replay no-op).
+  */
+final case class CommitResult(snapshot: Snapshot, applied: Boolean)
+
+/** A minimal snapshot-committed Parquet table ("lake table"), the target
+  * of the CDC merge-apply engine.
+  *
+  * Layout (all under `root`):
+  * {{{
+  *   _meta/_current          // name of the current snapshot manifest
+  *   _meta/snap-<id>.json    // immutable manifest per snapshot
+  *   data/c<id>-<salt>/_bucket=<n>/part-*.parquet
+  * }}}
+  *
+  * Scale notes (designed for a 1000-executor cluster / 100 TB table,
+  * tested at local[32]):
+  *   - Data is hidden-partitioned by `bucket = pmod(xxhash64(conv_id), B)`
+  *     so a micro-batch's copy-on-write rewrites only touched buckets,
+  *     bounding write amplification on hot conversations; B is sized at
+  *     table creation (tests use 16-64, a 100 TB table would use 4096+).
+  *   - The manifest is a single JSON per snapshot. At 4096 buckets with
+  *     compaction keeping O(1) files per bucket this stays in the low MBs;
+  *     an Iceberg-style manifest-list split is the documented growth path.
+  *   - Commits are metadata-only renames — O(1) regardless of data size.
+  *   - All paths go through Hadoop `FileSystem`, so `root` may be file://,
+  *     hdfs://, etc. `_current` swap uses `FileContext.rename(OVERWRITE)`,
+  *     which is atomic on HDFS and POSIX; object stores would swap in a
+  *     real catalog (documented limitation, matching Iceberg's own
+  *     HadoopCatalog caveat).
+  *
+  * Single-writer assumption: one streaming query maintains the table
+  * (true of the engine's design); the epoch fence additionally makes
+  * replayed commits no-ops, so crash-restart is safe.
+  */
+final class LakeTable(val spark: SparkSession, val root: String) {
+  import LakeTable._
+
+  private val rootPath = new Path(root)
+  private def fs: FileSystem = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+  private def metaDir = new Path(rootPath, "_meta")
+  private def currentPtr = new Path(metaDir, "_current")
+  private def snapPath(id: Long) = new Path(metaDir, f"snap-$id%010d.json")
+
+  /** Internal columns persisted alongside the public schema. `_lsn` is the
+    * LSN of the winning write for the row (cross-batch last-writer-wins
+    * needs it when events arrive out of order across micro-batches);
+    * `_deleted` marks a tombstone (needed so a late lower-LSN update
+    * cannot resurrect a deleted key).
+    */
+  def internalCols: Seq[StructField] = LakeTable.internalCols
+
+  // ---- metadata ----
+
+  def current: Snapshot = {
+    val name = readString(fs, currentPtr).trim
+    readManifest(fs, new Path(metaDir, name))
+  }
+
+  def snapshotIds: Seq[Long] = {
+    val st = fs.listStatus(metaDir)
+    st.map(_.getPath.getName).filter(_.startsWith("snap-"))
+      .map(n => n.stripPrefix("snap-").stripSuffix(".json").toLong).sorted.toSeq
+  }
+
+  def snapshot(id: Long): Snapshot = readManifest(fs, snapPath(id))
+
+  /** Physical parquet schema of files written at `ver` (public + internal). */
+  def physicalSchema(ver: Int): StructType =
+    StructType(Model.schemaRegistry(ver).fields ++ internalCols)
+
+  // ---- read path ----
+
+  /** Public read: current schema, live rows only, internal cols dropped. */
+  def read(): DataFrame = {
+    val snap = current
+    readConformed(snap, None)
+      .filter(!col("_deleted"))
+      .select(Model.schemaRegistry(snap.schemaVer).fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Internal read (merge path): rows incl. tombstones + `_lsn`/`_deleted`,
+    * restricted to `buckets` when given (copy-on-write reads only touched
+    * buckets). Old-schema files are conformed: missing columns null-filled,
+    * widened types cast up — the explicit read-side evolution the registry
+    * promises (int32→int64 `turn_idx`, added `tool`).
+    */
+  def readConformed(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
+    val target = physicalSchema(snap.schemaVer)
+    val wanted = buckets match {
+      case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
+      case None => snap.files
+    }
+    val groups = wanted.groupBy(_.schemaVer)
+    val parts = groups.toSeq.sortBy(_._1).map { case (ver, fes) =>
+      val physical = physicalSchema(ver)
+      val df = spark.read.schema(physical).parquet(fes.map(_.path): _*)
+      conform(df, physical, target)
+    }
+    if (parts.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    else parts.reduce(_ unionByName _)
+  }
+
+  // ---- commit protocol ----
+
+  /** Atomically commit a new snapshot that replaces all files of
+    * `replacedBuckets` with `newFiles` and (possibly) advances the schema
+    * version. If `epochId >= 0` and the current snapshot has already
+    * committed this epoch or a later one, the commit is fenced: nothing is
+    * written and the existing snapshot is returned (`applied = false`) —
+    * this is the exactly-once guarantee under foreachBatch replay.
+    */
+  def commit(
+      newFiles: Seq[FileEntry],
+      replacedBuckets: Set[Int],
+      epochId: Long,
+      schemaVer: Int,
+      rowDelta: Long,
+      maxLsnSeen: Long): CommitResult = synchronized {
+    val cur = current
+    if (epochId >= 0 && cur.epochId >= epochId) return CommitResult(cur, applied = false)
+    val kept = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
+    val snap = Snapshot(
+      id = cur.id + 1,
+      parent = cur.id,
+      epochId = if (epochId >= 0) epochId else cur.epochId,
+      schemaVer = math.max(schemaVer, cur.schemaVer),
+      numBuckets = cur.numBuckets,
+      rows = cur.rows + rowDelta,
+      maxLsn = math.max(maxLsnSeen, cur.maxLsn),
+      files = kept ++ newFiles)
+    writeManifest(fs, snapPath(snap.id), snap)
+    swapCurrent(snap.id)
+    CommitResult(snap, applied = true)
+  }
+
+  private def swapCurrent(id: Long): Unit = {
+    val tmp = new Path(metaDir, s"._current.tmp-$id")
+    writeString(fs, tmp, snapPath(id).getName)
+    val fc = FileContext.getFileContext(rootPath.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, currentPtr, Options.Rename.OVERWRITE)
+  }
+
+  // ---- data file write helper ----
+
+  /** Write `df` (public-schema cols + `_lsn` + `_deleted` + `_bucket`) as
+    * new data files, returning the manifest entries. Files are split by
+    * `_bucket` via dynamic partitioning; within a task rows are written
+    * sorted by (conv_id, turn_idx) so turn-ordered reads stay fast and
+    * parquet min/max stats stay tight (north rule: sort-order maintenance).
+    */
+  def writeDataFiles(df: DataFrame, schemaVer: Int): Seq[FileEntry] = {
+    val dir = new Path(new Path(rootPath, "data"),
+      s"c${System.currentTimeMillis()}-${java.util.UUID.randomUUID.toString.take(8)}")
+    df.sortWithinPartitions("_bucket", "conv_id", "turn_idx")
+      .write.partitionBy("_bucket").mode("overwrite").parquet(dir.toString)
+    listDataFiles(dir.toString, schemaVer)
+  }
+
+  private def listDataFiles(dir: String, schemaVer: Int): Seq[FileEntry] = {
+    val out = mutable.ArrayBuffer[FileEntry]()
+    val it = fs.listFiles(new Path(dir), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (p.getName.endsWith(".parquet")) {
+        val bucket = p.getParent.getName match {
+          case s if s.startsWith("_bucket=") => s.stripPrefix("_bucket=").toInt
+          case _ => -1
+        }
+        out += FileEntry(p.toString, bucket, schemaVer, -1L)
+      }
+    }
+    out.toSeq
+  }
+
+  // ---- maintenance ----
+
+  /** Bin-pack compaction: rewrite every bucket that has more than
+    * `maxFilesPerBucket` files into one sorted file (per salt-split task),
+    * committed as a metadata-neutral maintenance snapshot (epoch map
+    * unchanged). Bounds read amplification that copy-on-write + salting
+    * accumulate on hot buckets; also drops tombstones older than
+    * `dropTombstonesBelowLsn` (safe once the out-of-order window for those
+    * LSNs has certainly passed).
+    */
+  def compact(maxFilesPerBucket: Int = 4, dropTombstonesBelowLsn: Long = -1L): CommitResult = {
+    val cur = current
+    val byBucket = cur.files.groupBy(_.bucket)
+    val fat = byBucket.filter(_._2.size > maxFilesPerBucket).keySet
+    if (fat.isEmpty) return CommitResult(cur, applied = false)
+    var df = readConformed(cur, Some(fat))
+      .withColumn("_bucket", pmod(xxhash64(col("conv_id")), lit(cur.numBuckets)).cast(IntegerType))
+    if (dropTombstonesBelowLsn >= 0)
+      df = df.filter(!col("_deleted") || col("_lsn") >= dropTombstonesBelowLsn)
+    val files = writeDataFiles(df.repartition(math.max(1, fat.size), col("_bucket")), cur.schemaVer)
+    commit(files, fat, epochId = -1, schemaVer = cur.schemaVer, rowDelta = 0L, maxLsnSeen = cur.maxLsn)
+  }
+
+  /** Expire all but the last `keepLast` snapshots and GC data files no kept
+    * snapshot references (reference analog: staging purge / retention,
+    * Scripts/ETL_Framework_Implementation.sql:445-485).
+    */
+  def expireSnapshots(keepLast: Int = 2): Unit = {
+    val ids = snapshotIds
+    val curId = current.id
+    val keep = ids.filter(_ >= curId - keepLast + 1).toSet + curId
+    val live: Set[String] = keep.flatMap(id => snapshot(id).files.map(_.path))
+    // delete dead manifests
+    ids.filterNot(keep).foreach(id => fs.delete(snapPath(id), false))
+    // delete orphan data files
+    val dataDir = new Path(rootPath, "data")
+    if (fs.exists(dataDir)) {
+      val it = fs.listFiles(dataDir, true)
+      val dead = mutable.ArrayBuffer[Path]()
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet") && !live.contains(p.toString)) dead += p
+      }
+      dead.foreach(p => fs.delete(p, false))
+    }
+  }
+}
+
+object LakeTable {
+
+  val internalCols: Seq[StructField] = Seq(
+    StructField("_lsn", LongType, nullable = false),
+    StructField("_deleted", BooleanType, nullable = false))
+
+  /** Create an empty table at `root` with an initial schema version. */
+  def create(spark: SparkSession, root: String, schemaVer: Int, numBuckets: Int): LakeTable = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(rootPath, "_meta")
+    fs.mkdirs(metaDir)
+    val snap = Snapshot(0L, -1L, -1L, schemaVer, numBuckets, 0L, -1L, Nil)
+    val t = new LakeTable(spark, root)
+    writeManifest(fs, new Path(metaDir, f"snap-${0L}%010d.json"), snap)
+    writeString(fs, new Path(metaDir, "_current"), f"snap-${0L}%010d.json")
+    t
+  }
+
+  def load(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)
+
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(root, "_meta/_current")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Cast/null-fill `df` (physical schema `from`) up to `to`. Only widening
+    * casts are legal here; the registry guarantees versions only add
+    * nullable columns or widen types.
+    */
+  private[graft] def conform(df: DataFrame, from: StructType, to: StructType): DataFrame = {
+    val have = from.fieldNames.toSet
+    df.select(to.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  // ---- tiny JSON codec for manifests (no external deps beyond Spark's
+  // jackson; hand-rolled to keep the format explicit and stable) ----
+
+  private[lake] def manifestJson(s: Snapshot): String = {
+    def esc(x: String) = x.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val files = s.files.map(f =>
+      s"""{"path":"${esc(f.path)}","bucket":${f.bucket},"schemaVer":${f.schemaVer},"rows":${f.rows}}""")
+      .mkString("[", ",", "]")
+    s"""{"id":${s.id},"parent":${s.parent},"epochId":${s.epochId},"schemaVer":${s.schemaVer},""" +
+      s""""numBuckets":${s.numBuckets},"rows":${s.rows},"maxLsn":${s.maxLsn},"files":$files}"""
+  }
+
+  private[lake] def parseManifest(json: String): Snapshot = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val m = new ObjectMapper()
+    val n = m.readTree(json)
+    val files = (0 until n.get("files").size()).map { i =>
+      val f = n.get("files").get(i)
+      FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
+        f.get("schemaVer").asInt(), f.get("rows").asLong())
+    }
+    Snapshot(n.get("id").asLong(), n.get("parent").asLong(), n.get("epochId").asLong(),
+      n.get("schemaVer").asInt(), n.get("numBuckets").asInt(), n.get("rows").asLong(),
+      n.get("maxLsn").asLong(), files)
+  }
+
+  private def writeManifest(fs: FileSystem, p: Path, s: Snapshot): Unit =
+    writeString(fs, p, manifestJson(s))
+
+  private def readManifest(fs: FileSystem, p: Path): Snapshot =
+    parseManifest(readString(fs, p))
+
+  private[lake] def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private[lake] def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+}

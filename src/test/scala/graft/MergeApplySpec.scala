@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.MergeApply
+import graft.gen.ChangeGen
+import graft.gen.ChangeGen.GenConfig
+import graft.lake.LakeTable
+import graft.model.Model
+
+class MergeApplySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local(4, appName = "merge-spec")
+
+  private def tmp(): String = Files.createTempDirectory("graft-lake-").toString
+
+  private def finalState(table: LakeTable): Seq[(String, Long, String, String, Option[String])] = {
+    import spark.implicits._
+    table.read()
+      .orderBy("conv_id", "turn_idx")
+      .select($"conv_id", $"turn_idx".cast("long"), $"role", $"text",
+        if (table.read().columns.contains("tool")) $"tool" else org.apache.spark.sql.functions.lit(null).cast("string").as("tool"))
+      .as[(String, Long, String, String, Option[String])]
+      .collect().toSeq
+  }
+
+  private def oracleState(cfg: GenConfig): Seq[(String, Long, String, String, Option[String])] = {
+    val events = (0L until cfg.totalRows).map(i => ChangeGen.rowAt(cfg, i))
+    ChangeGen.oracleFold(events).toSeq
+      .sortBy { case ((c, t), _) => (c, t) }
+      .map { case ((c, t), turn) => (c, t, turn.role, turn.text, turn.tool) }
+  }
+
+  test("single-batch replay equals the naive fold oracle") {
+    val cfg = GenConfig(numConvs = 50, maxTurns = 20, numEvents = 4000)
+    val root = tmp()
+    val table = LakeTable.create(spark, root, schemaVer = 2, numBuckets = 16)
+    val stats = MergeApply.applyBatch(table, ChangeGen.events(spark, cfg).toDF(), epochId = 0)
+    assert(stats.applied)
+    assert(finalState(table) == oracleState(cfg))
+    assert(table.current.rows == table.read().count())
+  }
+
+  test("multi-batch replay (ordered chunks) equals the oracle") {
+    val cfg = GenConfig(numConvs = 40, maxTurns = 15, numEvents = 3000)
+    val root = tmp()
+    val table = LakeTable.create(spark, root, schemaVer = 1, numBuckets = 8)
+    val all = ChangeGen.emittedEvents(spark, cfg).collect() // emission order, bounded OOO
+    val chunks = all.grouped(700).toSeq
+    import spark.implicits._
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val st = MergeApply.applyBatch(table, spark.createDataset(chunk.toSeq).toDF(), epochId = i.toLong)
+      assert(st.applied)
+    }
+    // schema must have evolved to v2 (tail events carry schema_ver=2)
+    assert(table.current.schemaVer == 2)
+    assert(finalState(table) == oracleState(cfg))
+  }
+
+  test("epoch fence: replaying a committed batch is a no-op") {
+    val cfg = GenConfig(numConvs = 10, maxTurns = 10, numEvents = 500)
+    val root = tmp()
+    val table = LakeTable.create(spark, root, schemaVer = 2, numBuckets = 4)
+    val df = ChangeGen.events(spark, cfg).toDF()
+    val first = MergeApply.applyBatch(table, df, epochId = 7)
+    assert(first.applied)
+    val snapBefore = table.current.id
+    val replay = MergeApply.applyBatch(table, df, epochId = 7)
+    assert(!replay.applied)
+    assert(table.current.id == snapBefore)
+    val stale = MergeApply.applyBatch(table, df, epochId = 3)
+    assert(!stale.applied)
+    assert(finalState(table) == oracleState(cfg))
+  }
+
+  test("cross-batch out-of-order: late lower-LSN events lose (incl. vs tombstones)") {
+    import spark.implicits._
+    val root = tmp()
+    val table = LakeTable.create(spark, root, schemaVer = 2, numBuckets = 4)
+    val ts = new java.sql.Timestamp(1704067200000L)
+    def ev(lsn: Long, op: String, conv: String, turn: Int, text: String) =
+      Model.ChangeEvent(lsn, op, 2, conv, turn,
+        if (op == "D") None else Some("user"),
+        if (op == "D") None else Some(text), None,
+        if (op == "D") None else Some(ts))
+    // batch 0: high-LSN update for (a,1); delete for (b,2)
+    MergeApply.applyBatch(table, spark.createDataset(Seq(
+      ev(100, "U", "a", 1, "new"), ev(200, "D", "b", 2, ""))).toDF(), 0)
+    // batch 1 (late, lower LSNs): stale write to (a,1); resurrect attempt on (b,2)
+    MergeApply.applyBatch(table, spark.createDataset(Seq(
+      ev(50, "U", "a", 1, "stale"), ev(150, "I", "b", 2, "zombie"))).toDF(), 1)
+    val rows = table.read().orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().toSeq
+    assert(rows == Seq(("a", 1, "new")))
+  }
+
+  test("compaction preserves state and shrinks file count") {
+    val cfg = GenConfig(numConvs = 20, maxTurns = 10, numEvents = 2000)
+    val root = tmp()
+    val table = LakeTable.create(spark, root, schemaVer = 2, numBuckets = 4)
+    import spark.implicits._
+    val all = ChangeGen.events(spark, cfg).collect()
+    all.grouped(250).zipWithIndex.foreach { case (chunk, i) =>
+      MergeApply.applyBatch(table, spark.createDataset(chunk.toSeq).toDF(), i.toLong)
+    }
+    val before = finalState(table)
+    val filesBefore = table.current.files.size
+    val res = table.compact(maxFilesPerBucket = 2)
+    assert(res.applied)
+    assert(table.current.files.size < filesBefore)
+    assert(finalState(table) == before)
+    // expiry keeps the table readable and GCs orphans
+    table.expireSnapshots(keepLast = 1)
+    assert(finalState(table) == before)
+  }
+
+  test("deterministic across parallelism: local generator slice equality") {
+    val cfg = GenConfig(numEvents = 1000)
+    val a = (0L until cfg.totalRows).map(i => ChangeGen.rowAt(cfg, i))
+    val b = ChangeGen.events(spark, cfg).collect().sortBy(_.lsn)
+    assert(a.sortBy(_.lsn) == b.toSeq)
+  }
+}
