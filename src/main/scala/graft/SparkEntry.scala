@@ -1,13 +1,53 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.RelationalQueries
+import graft.cdc.MergeApply
+import graft.gen.ChangeGen
+import graft.gen.ChangeGen.GenConfig
+import graft.lake.LakeTable
+import graft.sim.SimilarityQueries
+import graft.textops.TextQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator catalog (SURVEY.md §2 ▸ rows + the
+  * training-data-pipeline operators); `oracleSql` carries the DuckDB twin
+  * for every SQL-expressible entry. Engine-native operators (CDC replay,
+  * LSH/MinHash/SimHash candidate generation) are exposed without oracles
+  * and verified by the ScalaTest suites instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private val catalog = RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all
+
+  /** Flagship: end-to-end CDC replay — generate a deterministic change
+    * stream, merge-apply it into a fresh lake table in 3 epochs (schema
+    * evolving v1→v2 mid-stream), return the final transcript state.
+    */
+  def entry(spark: SparkSession): DataFrame = cdcReplay(spark, events = 3000L, batches = 3)
+
+  private def cdcReplay(spark: SparkSession, events: Long, batches: Int): DataFrame = {
+    val cfg = GenConfig(numEvents = events)
+    val root = java.nio.file.Files.createTempDirectory("graft-entry-").toString + "/transcripts"
+    val table = LakeTable.create(spark, root, schemaVer = 1, numBuckets = 8)
+    val per = (cfg.totalRows + batches - 1) / batches
+    (0 until batches).foreach { b =>
+      val slice = ChangeGen.eventSlice(spark, cfg, b * per, math.min(cfg.totalRows, (b + 1) * per))
+      MergeApply.applyBatch(table, slice.toDF(), epochId = b.toLong)
+    }
+    table.read().orderBy("conv_id", "turn_idx")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(q => q.name -> q.run).toMap +
+      ("cdc_replay_final_state" -> ((s: SparkSession, _: String) => cdcReplay(s, 2000L, 2)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    catalog.flatMap(q => q.oracle.map(o => q.name -> o.linesIterator.map(_.trim).mkString(" "))).toMap
 }

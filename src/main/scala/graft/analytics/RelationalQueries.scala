@@ -1,0 +1,558 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-verified relational operator catalog: each entry is a ▸
+  * operator from SURVEY.md §2 expressed Spark-first over the driver's
+  * testdata tables, with an equivalent ANSI-SQL oracle for DuckDB.
+  *
+  * Conventions keeping the Spark/DuckDB comparison byte-stable:
+  *   - every computed column is aliased identically on both sides
+  *   - every result carries a total ORDER BY on key columns
+  *   - derived doubles are round()ed (raw column passthroughs stay exact)
+  *   - DuckDB integer sums are cast to BIGINT (it defaults to HUGEINT)
+  *   - DuckDB regexp_replace gets the 'g' flag (Spark replaces all by default)
+  */
+object RelationalQueries {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------- CDC / merge-pattern family (events table ≈ change log) ----------
+
+  /** M1/M6 ▸ last-writer-wins merge resolve: latest event per key via
+    * max_by(struct, lsn) — the exact dedup kernel of the engine
+    * (reference: MERGE matched-arm semantics,
+    * Scripts/python/enhanced_main_etl.py:778-821).
+    */
+  private val m1 = Q("m1_merge_lww",
+    (spark, dir) => {
+      val e = t(spark, dir, "events")
+      e.groupBy(col("user_id"), col("event_type"))
+        .agg(max_by(struct(e.columns.map(col).toSeq: _*), col("event_id")).as("e"))
+        .select(col("user_id"), col("event_type"),
+          col("e.event_id").as("last_event_id"),
+          round(col("e.value"), 4).as("last_value"),
+          col("e.ts").as("last_ts"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id AS last_event_id,
+            round(value, 4) AS last_value, ts AS last_ts
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                               ORDER BY event_id DESC) AS rn FROM events)
+            WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  /** T3 ▸ per-partition LSN frontier (monotone sequence high-watermark,
+    * reference: line_no/identity ordering, Scripts/database_schema.sql:147,208).
+    */
+  private val t3 = Q("t3_lsn_frontier",
+    (spark, dir) =>
+      t(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("last_event_id"), count(lit(1)).as("n_events"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id, max(event_id) AS last_event_id, count(*) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** J5 ▸ anti-join idempotency filter: events of the stream's second half
+    * whose (user_id, value-bucket) key was never seen in the first half —
+    * the "skip already-loaded keys" dedup
+    * (reference: Docs/etl_requirements_reviewed_by_sr.md:163-165).
+    */
+  private val j5 = Q("j5_anti_join_dedup",
+    (spark, dir) => {
+      val e = t(spark, dir, "events")
+      val kv = e.agg(floor(max(col("event_id")) / 2.0).cast("long")).head.getLong(0)
+      val existing = e.filter(col("event_id") <= kv)
+        .select(col("user_id"), floor(col("value")).cast("long").as("vb")).distinct()
+      e.filter(col("event_id") > kv)
+        .withColumn("vb", floor(col("value")).cast("long"))
+        .join(existing, Seq("user_id", "vb"), "left_anti")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("vb"))
+        .orderBy("event_id")
+    },
+    Some("""WITH k AS (SELECT CAST(floor(max(event_id)/2.0) AS BIGINT) AS kv FROM events),
+            ex AS (SELECT DISTINCT user_id, CAST(floor(value) AS BIGINT) AS vb
+                   FROM events, k WHERE event_id <= k.kv)
+            SELECT e.event_id, e.user_id, e.event_type,
+                   CAST(floor(e.value) AS BIGINT) AS vb
+            FROM events e, k
+            WHERE e.event_id > k.kv AND NOT EXISTS (
+              SELECT 1 FROM ex WHERE ex.user_id = e.user_id
+                AND ex.vb = CAST(floor(e.value) AS BIGINT))
+            ORDER BY e.event_id"""))
+
+  /** M7 ▸ SCD current-row read: row_number() over (key ORDER BY recency)=1
+    * (reference: study_disease_map active-row pattern,
+    * Docs/etl_requirements_reviewed_by_sr.md:518-558).
+    */
+  private val m7 = Q("m7_scd_current",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(spark, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"), col("ts"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_id, event_type, round(value,4) AS value, ts
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1 ORDER BY user_id"""))
+
+  /** C8/S4 ▸ deterministic content-hash batch id: sha256 over concatenated
+    * content, truncated to 32 hex chars (reference:
+    * Scripts/python/enhanced_main_etl.py:655-658,418-424).
+    */
+  private val c8 = Q("c8_batch_id",
+    (spark, dir) =>
+      t(spark, dir, "events")
+        .select(col("event_id"),
+          substring(sha2(concat_ws("||",
+            col("user_id").cast("string"), col("event_type"),
+            col("event_id").cast("string")), 256), 1, 32).as("batch_id"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+            substr(sha256(concat_ws('||', CAST(user_id AS VARCHAR), event_type,
+                                    CAST(event_id AS VARCHAR))), 1, 32) AS batch_id
+            FROM events ORDER BY event_id"""))
+
+  // ---------- aggregation family ----------
+
+  /** A1 ▸ grouped aggregate profile (TPC-H Q1 shape; reference:
+    * vw_expression_by_cohort, Scripts/database_schema.sql:318-339).
+    * Partial (map-side) aggregation + final hash agg — no extra shuffle.
+    */
+  private val q1 = Q("q1_agg",
+    (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity),2) AS sum_qty,
+            round(sum(l_extendedprice),2) AS sum_base_price,
+            round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+            round(avg(l_quantity),4) AS avg_qty,
+            round(avg(l_extendedprice),4) AS avg_price,
+            count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** A1/A3 ▸ cohort stats with exact distinct + sample stddev. */
+  private val a1 = Q("a1_cohort_agg",
+    (spark, dir) =>
+      t(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"),
+          round(avg(col("o_totalprice")), 4).as("avg_total"),
+          round(stddev_samp(col("o_totalprice")), 4).as("sd_total"),
+          round(min(col("o_totalprice")), 2).as("min_total"),
+          round(max(col("o_totalprice")), 2).as("max_total"))
+        .orderBy("o_orderpriority", "o_orderstatus"),
+    Some("""SELECT o_orderpriority, o_orderstatus,
+            count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders,
+            round(avg(o_totalprice),4) AS avg_total,
+            round(stddev_samp(o_totalprice),4) AS sd_total,
+            round(min(o_totalprice),2) AS min_total,
+            round(max(o_totalprice),2) AS max_total
+            FROM orders GROUP BY o_orderpriority, o_orderstatus
+            ORDER BY o_orderpriority, o_orderstatus"""))
+
+  /** A2 ▸ exact ordered-set percentiles (reference: PERCENTILE_CONT,
+    * Scripts/database_schema.sql:330). Spark `percentile` and DuckDB
+    * `quantile_cont` both interpolate linearly at (n-1)p.
+    */
+  private val a2 = Q("a2_median",
+    (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+            round(quantile_cont(l_quantity, 0.5),4) AS med_qty,
+            round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A3 ▸ conditional-sum data-quality profile (reference: vw_data_quality,
+    * Scripts/database_schema.sql:530-549).
+    */
+  private val a3 = Q("a3_quality_profile",
+    (spark, dir) =>
+      t(spark, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+          sum(when(col("value") < 1.0, 1L).otherwise(0L)).as("n_low"),
+          max(col("ts")).as("max_ts"),
+          round(count(lit(1)) * lit(1.0) / countDistinct(col("user_id")), 4).as("events_per_user"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+            CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+            CAST(sum(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+            max(ts) AS max_ts,
+            round(count(*)*1.0/count(DISTINCT user_id),4) AS events_per_user
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** A4 ▸ duplicate detection: GROUP BY key HAVING count>1 (reference:
+    * Scripts/database_schema.sql:419-425 — the post-merge PK uniqueness probe).
+    */
+  private val a4 = Q("a4_dup_detect",
+    (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .orderBy("l_orderkey", "l_partkey"),
+    Some("""SELECT l_orderkey, l_partkey, count(*) AS cnt FROM lineitem
+            GROUP BY l_orderkey, l_partkey HAVING count(*) > 1
+            ORDER BY l_orderkey, l_partkey"""))
+
+  /** A9 ▸ meta-analytic pooled aggregate via sufficient statistics
+    * (DerSimonian–Laird shape; reference formulas:
+    * Docs/etl_requirements_reviewed_by_sr.md:603-625). One shuffle, all
+    * closed-form column math afterwards — no UDAF.
+    */
+  private val a9 = Q("a9_meta_pooled",
+    (spark, dir) => {
+      val e = t(spark, dir, "events")
+        .withColumn("w", lit(1.0) / (lit(1.0) + col("value") * col("value")))
+      e.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("k"),
+          sum(col("w")).as("s1"),
+          sum(col("w") * col("w")).as("s2"),
+          sum(col("w") * col("value")).as("st"),
+          sum(col("w") * col("value") * col("value")).as("st2"))
+        .select(col("event_type"), col("k"),
+          round(col("st") / col("s1"), 6).as("pooled"),
+          round(col("st2") - col("st") * col("st") / col("s1"), 6).as("q_stat"),
+          round(greatest(lit(0.0),
+            (col("st2") - col("st") * col("st") / col("s1") - (col("k") - 1)) /
+              (col("s1") - col("s2") / col("s1"))), 6).as("tau2"),
+          round(greatest(lit(0.0),
+            (col("st2") - col("st") * col("st") / col("s1") - (col("k") - 1)) /
+              (col("st2") - col("st") * col("st") / col("s1"))) * 100, 6).as("i2"))
+        .orderBy("event_type")
+    },
+    Some("""WITH s AS (
+              SELECT event_type, count(*) AS k,
+                     sum(w) AS s1, sum(w*w) AS s2,
+                     sum(w*value) AS st, sum(w*value*value) AS st2
+              FROM (SELECT event_type, value, 1.0/(1.0+value*value) AS w FROM events)
+              GROUP BY event_type)
+            SELECT event_type, k,
+                   round(st/s1, 6) AS pooled,
+                   round(st2 - st*st/s1, 6) AS q_stat,
+                   round(greatest(0.0, (st2 - st*st/s1 - (k-1)) / (s1 - s2/s1)), 6) AS tau2,
+                   round(greatest(0.0, (st2 - st*st/s1 - (k-1)) / (st2 - st*st/s1)) * 100, 6) AS i2
+            FROM s ORDER BY event_type"""))
+
+  // ---------- join family ----------
+
+  /** J1/J2 ▸ star join with broadcast dims (reference:
+    * sp_load_fact_expression + vw_expression_long,
+    * Scripts/database_schema.sql:375-398,290-315). Dims are broadcast so
+    * the fact table never shuffles.
+    */
+  private val j1 = Q("j1_star_join",
+    (spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val o = t(spark, dir, "orders")
+      val c = t(spark, dir, "customer")
+      val n = t(spark, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+            round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+            count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  /** J2 ▸ left outer join preserving unmatched rows. */
+  private val j2 = Q("j2_left_outer",
+    (spark, dir) => {
+      val c = t(spark, dir, "customer")
+      val o = t(spark, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+            round(coalesce(sum(o_totalprice),0),2) AS total_spent
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name ORDER BY c_custkey"""))
+
+  /** J4 ▸ theta self-join with inequality + HAVING (reference: gene-pair
+    * candidates, Scripts/database_schema.sql:342-366). Equi-part of the
+    * condition drives the shuffle; the inequality stays a residual
+    * predicate so Catalyst still plans a hash/sort-merge join, not a
+    * cartesian product.
+    */
+  private val j4 = Q("j4_theta_selfjoin",
+    (spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy("p1", "p2")
+    },
+    Some("""SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+            count(DISTINCT a.l_orderkey) AS n_orders
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2
+            ORDER BY p1, p2"""))
+
+  /** J6 ▸ left-anti null-probe (reference: missing-sample validation,
+    * Scripts/database_schema.sql:427-435): customers with no order above
+    * 1.5× the global average order value.
+    */
+  private val j6 = Q("j6_anti_probe",
+    (spark, dir) => {
+      val c = t(spark, dir, "customer")
+      val o = t(spark, dir, "orders")
+      val th = o.agg(avg(col("o_totalprice")) * 1.5).head.getDouble(0)
+      val big = o.filter(col("o_totalprice") > th).select(col("o_custkey")).distinct()
+      c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH th AS (SELECT avg(o_totalprice)*1.5 AS v FROM orders)
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o, th
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > th.v)
+            ORDER BY c_custkey"""))
+
+  /** J8 ▸ decorrelated scalar subquery (reference: correlated probes,
+    * Scripts/database_schema.sql:511,433-434): orders 1.5× above their own
+    * customer's average.
+    */
+  private val j8 = Q("j8_corr_subquery",
+    (spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val av = o.groupBy(col("o_custkey").as("k")).agg(avg(col("o_totalprice")).as("av"))
+      o.join(av, col("o_custkey") === col("k"))
+        .filter(col("o_totalprice") > col("av") * 1.5)
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice,2) AS o_totalprice
+            FROM orders o JOIN (SELECT o_custkey AS k, avg(o_totalprice) AS av
+                                FROM orders GROUP BY 1) a ON o.o_custkey = a.k
+            WHERE o.o_totalprice > a.av * 1.5 ORDER BY o.o_orderkey"""))
+
+  // ---------- projection / transform family ----------
+
+  /** P1 ▸ melt/unpivot — the reference's load-bearing reshape
+    * (pd.melt / SQL UNPIVOT, Scripts/python/enhanced_main_etl.py:394-400,
+    * Scripts/ETL_Framework_Implementation.sql:402-438). Built-in
+    * Dataset.unpivot — a Catalyst Expand, no generator UDTF needed.
+    */
+  private val p1 = Q("p1_melt_unpivot",
+    (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+    Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, measure"""))
+
+  /** P4 ▸ descriptor normalization (reference: _normalise_descriptor,
+    * Scripts/python/enhanced_main_etl.py:37-44): trim, collapse [-_]+ and
+    * whitespace, lowercase. Pure codegen'd string expressions.
+    */
+  private val p4 = Q("p4_normalize",
+    (spark, dir) =>
+      t(spark, dir, "part")
+        .select(col("p_partkey"),
+          lower(regexp_replace(regexp_replace(trim(col("p_name")), "[-_]+", " "), "\\s+", " "))
+            .as("norm_name"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+            lower(regexp_replace(regexp_replace(trim(p_name), '[-_]+', ' ', 'g'),
+                                 '\s+', ' ', 'g')) AS norm_name
+            FROM part ORDER BY p_partkey"""))
+
+  /** P6 ▸ domain-range validation filter (reference: range checks,
+    * Scripts/database_schema.sql:438-443).
+    */
+  private val p6 = Q("p6_range_flags",
+    (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .filter(col("l_discount") > 0.05 || col("l_tax") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_discount"), col("l_tax"),
+          (col("l_discount") > 0.05).as("bad_disc"),
+          (col("l_tax") > 0.05).as("bad_tax"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_discount, l_tax,
+            l_discount > 0.05 AS bad_disc, l_tax > 0.05 AS bad_tax
+            FROM lineitem WHERE l_discount > 0.05 OR l_tax > 0.05
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** P8 ▸ persisted computed log2 column (reference:
+    * Scripts/database_schema.sql:152).
+    */
+  private val p8 = Q("p8_computed_log2",
+    (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(when(col("l_quantity") > 0, log(2.0, col("l_quantity"))), 6).as("log2_qty"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+            round(CASE WHEN l_quantity > 0 THEN log2(l_quantity) END, 6) AS log2_qty
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** P9 ▸ unit normalization: per-group library size via window sum, then
+    * log2(cpm+1) (reference: COUNTS→CPM transform,
+    * Docs/etl_requirements_reviewed_by_sr.md:443-458).
+    */
+  private val p9 = Q("p9_unit_norm",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+      t(spark, dir, "lineitem")
+        .withColumn("cpm",
+          col("l_extendedprice") / sum(col("l_extendedprice")).over(w) * 1e6)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(log(2.0, col("cpm") + 1), 6).as("log_cpm"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+            round(log2(l_extendedprice / sum(l_extendedprice)
+                  OVER (PARTITION BY l_orderkey) * 1e6 + 1), 6) AS log_cpm
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---------- classification / enrichment family ----------
+
+  /** C1/M6 ▸ priority-ordered regex classifier with override-beats-rule
+    * precedence (reference: IllnessInferenceEngine.infer_illness,
+    * Scripts/python/enhanced_main_etl.py:442-470). Pure when/rlike chain —
+    * the rules are data, the plan is built at runtime, no UDF.
+    */
+  private val c1 = Q("c1_regex_classifier",
+    (spark, dir) => {
+      val overrideLabel = when(col("p_brand") === "Brand#44", lit("OVERRIDE_44"))
+      val ruleLabel =
+        when(col("p_type").rlike("BRASS$"), lit("BRASS_END"))
+          .when(col("p_type").rlike("^PROMO"), lit("PROMO"))
+          .when(col("p_type").rlike("POLISHED|BURNISHED"), lit("SHINY"))
+      t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          coalesce(overrideLabel, ruleLabel, lit("UNKNOWN")).as("label"),
+          when(overrideLabel.isNotNull, lit("override"))
+            .when(ruleLabel.isNotNull, lit("rule"))
+            .otherwise(lit("default")).as("method"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_brand, p_type,
+            coalesce(CASE WHEN p_brand = 'Brand#44' THEN 'OVERRIDE_44' END,
+                     CASE WHEN regexp_matches(p_type, 'BRASS$') THEN 'BRASS_END'
+                          WHEN regexp_matches(p_type, '^PROMO') THEN 'PROMO'
+                          WHEN regexp_matches(p_type, 'POLISHED|BURNISHED') THEN 'SHINY' END,
+                     'UNKNOWN') AS label,
+            CASE WHEN p_brand = 'Brand#44' THEN 'override'
+                 WHEN regexp_matches(p_type, 'BRASS$|^PROMO|POLISHED|BURNISHED') THEN 'rule'
+                 ELSE 'default' END AS method
+            FROM part ORDER BY p_partkey"""))
+
+  /** C2 ▸ regex group extraction (reference: platform "Name (Accession)"
+    * split, Scripts/python/enhanced_main_etl.py:484-498).
+    */
+  private val c2 = Q("c2_regex_extract",
+    (spark, dir) =>
+      t(spark, dir, "events")
+        .select(col("event_id"),
+          expr("""CAST(nullif(regexp_extract(props, '"k": (\\d+)', 1), '') AS INT)""").as("k_val"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+            CAST(nullif(regexp_extract(props, '"k": (\d+)', 1), '') AS INTEGER) AS k_val
+            FROM events ORDER BY event_id"""))
+
+  // ---------- window / rank family ----------
+
+  /** W1/W2 ▸ multi-key ranked top-K (reference: ranked view + TOP,
+    * Docs/etl_requirements_reviewed_by_sr.md:425,350-351). Spark plans
+    * TakeOrderedAndProject — no global sort of the full table.
+    */
+  private val w1 = Q("w1_ranked_topk",
+    (spark, dir) => {
+      // top-k first (TakeOrderedAndProject — per-partition heaps, no global
+      // sort/window over the full table), then rank the 100 survivors.
+      val top = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      top.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("rank")
+    },
+    Some("""SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+                   o_orderkey, round(o_totalprice,2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  /** W2 ▸ running aggregate over an explicit ROWS frame. */
+  private val w2 = Q("w2_running_sum",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+            FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
+  val all: Seq[Q] = Seq(m1, t3, j5, m7, c8, q1, a1, a2, a3, a4, a9,
+    j1, j2, j4, j6, j8, p1, p4, p6, p8, p9, c1, c2, w1, w2)
+}

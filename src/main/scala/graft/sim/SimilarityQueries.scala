@@ -1,0 +1,216 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.RelationalQueries.Q
+
+/** Similarity search + hash-based near-dup operators over the
+  * `embeddings` and `documents` tables.
+  *
+  * Two tiers, mirroring how a 100 TB pipeline runs ANN:
+  *   - `sim1_cosine_topk`: exact brute-force cosine top-k — the
+  *     correctness baseline, DuckDB-verified in double precision.
+  *   - `sim2_lsh_ann`: random-hyperplane LSH bucketing + in-bucket exact
+  *     re-rank — the scale path: candidate generation is a bucket-equi-join
+  *     (shuffle on short signatures, never the O(n²) cross product).
+  *   - `d2_minhash_lsh` / `d3_simhash`: banded MinHash and SimHash
+  *     near-dup candidate generation over documents.
+  *
+  * All vector math is higher-order array expressions (zip_with/aggregate)
+  * in double precision — codegen-compatible, no UDFs.
+  */
+object SimilarityQueries {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Double-precision dot product of two float arrays. */
+  private def dotD(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+
+  private def normD(a: String): Column =
+    expr(s"sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))")
+
+  /** SIM1 ▸ brute-force cosine top-5 for the first 30 query vectors.
+    * Ranking is on the ROUNDED similarity with vec_id tiebreak so the
+    * Spark/DuckDB rank order is stable under last-ulp summation
+    * differences.
+    */
+  private[sim] val sim1 = Q("sim1_cosine_topk",
+    (spark, dir) => {
+      val e = emb(spark, dir)
+      val q = e.filter(col("vec_id") < 30).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val sims = q.crossJoin(c).filter(col("qid") =!= col("nid"))
+        .withColumn("sim", round(dotD("qv", "nv") / (normD("qv") * normD("nv")), 4))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("nid"), col("sim"))
+        .orderBy("qid", "nid")
+    },
+    Some("""WITH t AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                              generate_subscripts(embedding, 1) AS pos
+                       FROM embeddings),
+            n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM t GROUP BY vec_id),
+            dots AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v*b.v) AS dot
+                     FROM t a JOIN t b ON a.pos = b.pos
+                     WHERE a.vec_id < 30 AND a.vec_id <> b.vec_id
+                     GROUP BY 1, 2),
+            sims AS (SELECT qid, nid,
+                            round(dot/(na.nrm*nb.nrm), 4) AS sim
+                     FROM dots JOIN n na ON na.vec_id = qid
+                               JOIN n nb ON nb.vec_id = nid)
+            SELECT qid, nid, sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, nid) AS rn FROM sims)
+            WHERE rn <= 5 ORDER BY qid, nid"""))
+
+  // ---- LSH machinery (deterministic pseudo-random planes, seed-fixed) ----
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4B9B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** `nPlanes` deterministic hyperplanes of dimension `dim`, components in
+    * [-1, 1) derived from splitmix64 — no java.util.Random, reproducible
+    * across executors.
+    */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        (mix(seed ^ (p.toLong << 32) ^ i.toLong) >>> 11) * (2.0 / (1L << 53)) - 1.0
+      }
+    }
+
+  /** Attach an LSH bit-signature and per-band bucket ids to an embedding
+    * column. Bands of `bandBits` bits each → `nPlanes/bandBits` buckets.
+    */
+  def withLshBands(df: DataFrame, embCol: String, nPlanes: Int, bandBits: Int): DataFrame = {
+    val dim = 64 // embeddings table vector width
+    val pl = typedlit(planes(nPlanes, dim))
+    val bands = nPlanes / bandBits
+    df.withColumn("_planes", pl)
+      .withColumn("sig", expr(
+        s"transform(_planes, pl -> CASE WHEN aggregate(zip_with($embCol, pl, " +
+          "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END)"))
+      .withColumn("bands", expr(
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
+          s"aggregate(slice(sig, b * $bandBits + 1, $bandBits), 0, (a, v) -> a * 2 + v) AS bucket))"))
+      .drop("_planes")
+  }
+
+  /** SIM2 ▸ LSH-bucketed approximate NN: candidates = pairs sharing any
+    * band bucket (equi-join on (band, bucket)), exact cosine re-rank to
+    * top-5. Engine-only (rows-only driver check); recall vs sim1 is
+    * asserted in SimilaritySpec.
+    */
+  private[sim] val sim2 = Q("sim2_lsh_ann",
+    (spark, dir) => {
+      val e = withLshBands(emb(spark, dir), "embedding", nPlanes = 16, bandBits = 4)
+        .select(col("vec_id"), col("embedding"), explode(col("bands")).as("bb"))
+        .select(col("vec_id"), col("embedding"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val q = e.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("band"), col("bucket"))
+      val cands = q.join(
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+      val sims = cands
+        .withColumn("sim", round(dotD("qv", "nv") / (normD("qv") * normD("nv")), 4))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("nid"), col("sim"))
+        .orderBy("qid", "nid")
+    },
+    None)
+
+  /** D2 ▸ banded MinHash-LSH near-dup candidates over documents: 3-word
+    * shingles → 16 xxhash64 minhashes → 4 bands of 4 → bucket-join pairs +
+    * estimated Jaccard (fraction of matching minhashes). Engine-only;
+    * planted-duplicate correctness lives in DedupSpec.
+    */
+  private[sim] val d2 = Q("d2_minhash_lsh",
+    (spark, dir) => minhashPairs(docs(spark, dir), minJaccardEst = 0.5),
+    None)
+
+  /** Shared MinHash pipeline: returns candidate pairs (d1, d2, est_jaccard). */
+  def minhashPairs(documents: DataFrame, minJaccardEst: Double,
+      nHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+    val bands = nHashes / bandSize
+    val sh = documents
+      .withColumn("toks", filter(split(lower(col("text")), " "), x => x =!= ""))
+      .withColumn("shingles", expr(
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) ELSE array(concat_ws(' ', toks)) END"))
+      .withColumn("minhashes", expr(
+        s"transform(sequence(0, ${nHashes - 1}), p -> " +
+          "array_min(transform(shingles, s -> xxhash64(s, p))))"))
+      .select(col("doc_id"), col("minhashes"))
+    val banded = sh.withColumn("bb", expr(
+      s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
+        s"xxhash64(concat_ws(',', slice(minhashes, b * $bandSize + 1, $bandSize))) AS bucket))"))
+      .select(col("doc_id"), col("minhashes"), explode(col("bb")).as("bb"))
+      .select(col("doc_id"), col("minhashes"), col("bb.band"), col("bb.bucket"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.minhashes").as("m1"), col("b.minhashes").as("m2"))
+      .distinct()
+    pairs
+      .withColumn("est_jaccard", round(
+        expr("size(filter(zip_with(m1, m2, (x, y) -> x = y), b -> b))") /
+          lit(16.0), 4))
+      .filter(col("est_jaccard") >= minJaccardEst)
+      .select(col("d1"), col("d2"), col("est_jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** D3 ▸ 64-bit SimHash per document + same-high-16-bit-bucket candidate
+    * pairs with Hamming distance ≤ 8. Engine-only.
+    */
+  private[sim] val d3 = Q("d3_simhash",
+    (spark, dir) => {
+      val sh = simhash(docs(spark, dir))
+      val bucketed = sh.withColumn("bucket", expr("simhash >> 48"))
+      bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming",
+          expr("bit_count(a.simhash ^ b.simhash)"))
+        .filter(col("hamming") <= 8)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("hamming"))
+        .orderBy("d1", "d2")
+    },
+    None)
+
+  /** Token-level 64-bit SimHash: per bit, sum +/-1 over token hashes, bit
+    * set where the sum is positive. Entirely array expressions — the
+    * per-token 64-bit expansion stays inside codegen.
+    */
+  def simhash(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", filter(split(lower(col("text")), " "), x => x =!= ""))
+      .withColumn("hashes", expr("transform(toks, x -> xxhash64(x))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, bit) ->
+           acc + CASE WHEN aggregate(hashes, 0L,
+             (s, h) -> s + CASE WHEN ((h >> bit) & 1) = 1 THEN 1L ELSE -1L END) > 0
+           THEN shiftleft(1L, bit) ELSE 0L END)"""))
+      .select(col("doc_id"), col("simhash"))
+
+  val all: Seq[Q] = Seq(sim1, sim2, d2, d3)
+}
