@@ -476,7 +476,7 @@ object RelationalQueries {
     */
   private val c1 = Q("c1_regex_classifier",
     (spark, dir) => {
-      val overrideLabel = when(col("p_brand") === "Brand#44", lit("OVERRIDE_44"))
+      val overrideLabel = when(col("p_brand") === "Brand#13", lit("OVERRIDE_13"))
       val ruleLabel =
         when(col("p_type").rlike("BRASS$"), lit("BRASS_END"))
           .when(col("p_type").rlike("^PROMO"), lit("PROMO"))
@@ -490,12 +490,12 @@ object RelationalQueries {
         .orderBy("p_partkey")
     },
     Some("""SELECT p_partkey, p_brand, p_type,
-            coalesce(CASE WHEN p_brand = 'Brand#44' THEN 'OVERRIDE_44' END,
+            coalesce(CASE WHEN p_brand = 'Brand#13' THEN 'OVERRIDE_13' END,
                      CASE WHEN regexp_matches(p_type, 'BRASS$') THEN 'BRASS_END'
                           WHEN regexp_matches(p_type, '^PROMO') THEN 'PROMO'
                           WHEN regexp_matches(p_type, 'POLISHED|BURNISHED') THEN 'SHINY' END,
                      'UNKNOWN') AS label,
-            CASE WHEN p_brand = 'Brand#44' THEN 'override'
+            CASE WHEN p_brand = 'Brand#13' THEN 'override'
                  WHEN regexp_matches(p_type, 'BRASS$|^PROMO|POLISHED|BURNISHED') THEN 'rule'
                  ELSE 'default' END AS method
             FROM part ORDER BY p_partkey"""))

@@ -1,0 +1,131 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.lake.LakeTable
+import graft.model.Model
+
+/** The streaming face of the engine: tail a change-event log (file-based
+  * source — the sandbox's Kafka stand-in) and merge-apply each micro-batch
+  * into the lake table via foreachBatch.
+  *
+  * Exactly-once chain (north rule):
+  *   checkpointed source offsets → foreachBatch epochId → fenced snapshot
+  *   commit. A crash between the table commit and the checkpoint advance
+  *   replays the epoch; the fence turns the replay into a no-op, so the
+  *   table never double-applies (reference analog: content-hash batch
+  *   dedup, Docs/etl_requirements_reviewed_by_sr.md:162-165).
+  *
+  * Per-batch observability (reference analog: meta.etl_process_log rows
+  * per step/batch, enhanced_main_etl_logging.py:219-286):
+  *   - `<table>/_metrics`: one row per applied epoch — input events,
+  *     deduped keys, touched buckets, duration, events/sec, snapshot id
+  *   - `<table>/_lineage`: per-partition lineage — source file → epoch →
+  *     committed snapshot id (north rule: "source offset → snapshot ID")
+  * Both are written only when the commit actually applied, so replays do
+  * not duplicate metric rows.
+  */
+object CdcStream {
+
+  final case class StreamConfig(
+      maxFilesPerTrigger: Int = 4,
+      saltFactor: Int = 4,
+      availableNow: Boolean = true,
+      triggerMs: Long = 500L)
+
+  def start(
+      spark: SparkSession,
+      table: LakeTable,
+      eventsDir: String,
+      checkpointDir: String,
+      cfg: StreamConfig = StreamConfig()): StreamingQuery = {
+    val events = spark.readStream
+      .schema(Model.changeEventSchema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(eventsDir)
+    val writer = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val stats = MergeApply.applyBatch(table, batch, epochId, cfg.saltFactor)
+        if (stats.applied) {
+          emitMetrics(spark, table.root, stats)
+          emitLineage(spark, table.root, stats,
+            sourceFilesOf(spark, checkpointDir, epochId))
+        }
+        ()
+      }
+    (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime(cfg.triggerMs)))
+      .start()
+  }
+
+  /** Run the stream to completion over the files currently in `eventsDir`
+    * (AvailableNow) and wait — the batch-replay entry point used by tests
+    * and the bench.
+    */
+  def runAvailable(
+      spark: SparkSession,
+      table: LakeTable,
+      eventsDir: String,
+      checkpointDir: String,
+      cfg: StreamConfig = StreamConfig()): Unit = {
+    val q = start(spark, table, eventsDir, checkpointDir, cfg.copy(availableNow = true))
+    q.awaitTermination()
+  }
+
+  /** The authoritative source-offset record for an epoch: the
+    * FileStreamSource commit log at `<checkpoint>/sources/0/<epochId>`
+    * (one JSON entry per input file). By the time foreachBatch sees the
+    * batch it is a LogicalRDD with no file provenance, so lineage is read
+    * from the offset log — which is exactly the "source offset" the north
+    * rule asks to link to the committed snapshot id.
+    */
+  private def sourceFilesOf(spark: SparkSession, checkpointDir: String, epochId: Long): Seq[String] = {
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/0/$epochId")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) return Nil
+      val in = fs.open(p)
+      val content = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      content.linesIterator.filter(l => l.startsWith("{") || l.startsWith("["))
+        .flatMap { line =>
+          val n = mapper.readTree(line)
+          if (n.isArray) (0 until n.size()).map(i => n.get(i).get("path").asText())
+          else if (n.has("path")) Seq(n.get("path").asText())
+          else Nil
+        }.toSeq
+    } catch { case _: Exception => Nil }
+  }
+
+  private def emitMetrics(spark: SparkSession, root: String, s: BatchStats): Unit = {
+    import spark.implicits._
+    val eps = if (s.durationMs > 0) s.inputEvents * 1000.0 / s.durationMs else 0.0
+    Seq((s.epochId, s.snapshotId, s.inputEvents, s.dedupedKeys, s.touchedBuckets,
+      s.schemaVer, s.maxLsn, s.liveRows, s.durationMs, eps))
+      .toDF("epoch_id", "snapshot_id", "input_events", "deduped_keys", "touched_buckets",
+        "schema_ver", "max_lsn", "live_rows", "duration_ms", "events_per_sec")
+      .coalesce(1).write.mode("append").parquet(s"$root/_metrics")
+  }
+
+  private def emitLineage(spark: SparkSession, root: String, s: BatchStats,
+      sourceFiles: Seq[String]): Unit = {
+    import spark.implicits._
+    val rows = if (sourceFiles.isEmpty) Seq(("<none>", s.epochId, s.snapshotId))
+      else sourceFiles.map(f => (f, s.epochId, s.snapshotId))
+    rows.toDF("source_file", "epoch_id", "snapshot_id")
+      .coalesce(1).write.mode("append").parquet(s"$root/_lineage")
+  }
+
+  /** Read back the metrics table (per-batch observability surface). */
+  def metrics(spark: SparkSession, tableRoot: String): DataFrame =
+    spark.read.parquet(s"$tableRoot/_metrics")
+
+  /** Read back the lineage table: source file → epoch → snapshot. */
+  def lineage(spark: SparkSession, tableRoot: String): DataFrame =
+    spark.read.parquet(s"$tableRoot/_lineage")
+}
