@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: prints `explain("formatted")` for representative
+  * catalog queries and asserts the scale-critical plan properties hold —
+  * broadcast joins where dims are small, partial aggregation, pushed
+  * filters / pruned read schemas, TakeOrderedAndProject for top-k. Run as
+  * `runMain graft.PlanAudit [sfDir]`; exits nonzero if an expectation is
+  * violated (so the plan shape is CI-checkable, not just eyeballed).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = Sessions.local(8, appName = "plan-audit")
+    spark.sparkContext.setLogLevel("WARN")
+    var failures = 0
+
+    def audit(name: String, expectations: (String, String => Boolean)*): Unit = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n===== $name =====")
+      println(plan.linesIterator.take(40).mkString("\n"))
+      expectations.foreach { case (what, check) =>
+        val ok = check(plan)
+        if (!ok) failures += 1
+        println(s"[audit] $name :: $what -> ${if (ok) "OK" else "VIOLATED"}")
+      }
+    }
+
+    // star join: both dims broadcast, fact side never shuffled for them
+    audit("j1_star_join",
+      "customer+nation broadcast" -> (p => "BroadcastHashJoin".r.findAllIn(p).size >= 2),
+      "partial aggregation" -> (_.contains("HashAggregate")))
+    // flagship agg: whole-stage codegen + partial agg + pruned columns
+    audit("q1_agg",
+      "whole-stage codegen" -> (_.contains("WholeStageCodegen")),
+      "column-pruned scan (<=4 data cols)" ->
+        (p => p.linesIterator.find(_.contains("ReadSchema"))
+          .forall(l => l.count(_ == ',') <= 4)))
+    // anti join stays a real join, no cartesian
+    audit("j5_anti_join_dedup",
+      "left anti join" -> (p => p.contains("LeftAnti")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    // top-k must be TakeOrderedAndProject, not a global sort+window
+    audit("w1_ranked_topk",
+      "take-ordered top-k" -> (_.contains("TakeOrderedAndProject")))
+    // melt: Expand node, single pass over input
+    audit("p1_melt_unpivot",
+      "expand-based unpivot" -> (_.contains("Expand")))
+    // filter pushdown reaches parquet
+    audit("p6_range_flags",
+      "pushed filters" -> (_.contains("PushedFilters: [")))
+
+    println(s"\n[audit] total violations: $failures")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

@@ -55,7 +55,8 @@ object MergeApply {
       table: LakeTable,
       events: DataFrame,
       epochId: Long,
-      saltFactor: Int = 4): BatchStats = {
+      saltFactor: Int = 4,
+      saltRowThreshold: Long = 50000L): BatchStats = {
     val t0 = System.nanoTime()
     val spark = table.spark
     val cur = table.current
@@ -65,11 +66,15 @@ object MergeApply {
       return BatchStats(epochId, applied = false, cur.id, 0L, 0L, 0, cur.schemaVer,
         cur.maxLsn, cur.rows, elapsedMs(t0))
 
-    // One driver-side pass for batch-level facts (count / max lsn / max ver).
+    // One driver-side pass for ALL batch-level facts: count, max lsn, max
+    // schema version, and the touched-bucket set (≤ numBuckets values) —
+    // a single partial-aggregated scan of the batch.
+    val b = cur.numBuckets
     val head = events.agg(
       count(lit(1)).as("n"),
       max("lsn").as("maxLsn"),
-      max("schema_ver").as("maxVer")).collect()(0)
+      max("schema_ver").as("maxVer"),
+      collect_set(bucketOf(col("conv_id"), b)).as("touched")).collect()(0)
     val inputEvents = head.getAs[Long]("n")
     if (inputEvents == 0L)
       return BatchStats(epochId, applied = false, cur.id, 0L, 0L, 0, cur.schemaVer,
@@ -77,32 +82,23 @@ object MergeApply {
     val batchMaxLsn = head.getAs[Long]("maxLsn")
     val newVer = math.max(cur.schemaVer, head.getAs[Int]("maxVer"))
     val target = Model.schemaRegistry(newVer)
-    val b = cur.numBuckets
+    val touched: Set[Int] = head.getAs[Seq[Int]]("touched").toSet
 
-    // 1. Within-batch LSN dedup: keep the max-LSN event per key. Duplicate
-    //    re-emissions share an LSN and an identical payload, so ties are safe.
-    val evCols = events.columns
-    val latest = events
-      .groupBy(col("conv_id"), col("turn_idx"))
-      .agg(max_by(struct(evCols.map(col).toSeq: _*), col("lsn")).as("e"))
-      .select(col("e.*"))
+    // 1. Conform batch events to the (possibly evolved) target schema +
+    //    merge cols. Within-batch LSN dedup is NOT a separate shuffle: it is
+    //    subsumed by the merge groupBy in step 3 (same max_by-per-key
+    //    semantics, one shuffle instead of two).
+    val batchRows = conformEvents(events, target)
 
-    // Conform batch events to the (possibly evolved) target schema + merge cols.
-    val batchRows = conformEvents(latest, target)
-
-    // 2. Touched buckets — drives copy-on-write scope. The distinct is over
-    //    at most `numBuckets` values, so the collect is tiny.
-    val touched: Set[Int] = batchRows
-      .select(bucketOf(col("conv_id"), b).as("bk")).distinct()
-      .collect().map(_.getInt(0)).toSet
-
-    // 3. Current rows of touched buckets, viewed as pseudo-events carrying
+    // 2. Current rows of touched buckets, viewed as pseudo-events carrying
     //    their stored winning `_lsn` (enables cross-batch LWW).
     val currentRows = LakeTable.conform(
       table.readConformed(cur, Some(touched)),
       table.physicalSchema(cur.schemaVer), StructType(target.fields ++ LakeTable.internalCols))
 
-    // 4. Resolve: union current + incoming, keep max-LSN row per key.
+    // 3. Resolve: union current + incoming, keep max-LSN row per key.
+    //    (Duplicate re-emissions share an LSN and identical payload, so
+    //    max_by ties are safe.)
     val mergeCols = target.fieldNames.toSeq ++ Seq("_lsn", "_deleted")
     val resolved = currentRows.select(mergeCols.map(col): _*)
       .unionByName(batchRows.select(mergeCols.map(col): _*))
@@ -110,26 +106,28 @@ object MergeApply {
       .agg(max_by(struct(mergeCols.map(col): _*), col("_lsn")).as("r"))
       .select(col("r.*"))
 
-    // 5. Salted write: spread hot buckets across up to `saltFactor` tasks,
-    //    then split files back out by bucket via dynamic partitioning.
+    // 4. Salted write: spread hot buckets across multiple tasks when the
+    //    per-bucket volume warrants it (auto-downshift to 1 for small
+    //    batches — salt multiplies output file count), then split files
+    //    back out by bucket via dynamic partitioning.
+    val salt = if (inputEvents / math.max(1, touched.size) < saltRowThreshold) 1
+      else math.max(1, saltFactor)
     val withBucket = resolved.withColumn("_bucket", bucketOf(col("conv_id"), b))
-    val parts = math.max(1, math.min(touched.size * saltFactor,
+    val parts = math.max(1, math.min(touched.size * salt,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt))
     val salted = withBucket.repartition(parts, col("_bucket"),
-      pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltFactor)))
+      pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(salt)))
     val files = table.writeDataFiles(salted, newVer)
 
-    // 6. Stats from the written files (cheap: single boolean column scan),
-    //    then the atomic fenced commit.
-    val written = spark.read
-      .schema(StructType(target.fields ++ LakeTable.internalCols))
-      .parquet(files.map(_.path): _*)
-      .agg(count(lit(1)).as("n"), sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
-      .collect()(0)
-    val newKeys = written.getAs[Long]("n")
-    val newLive = Option(written.getAs[Any]("live")).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val oldLive = table.readConformed(cur, Some(touched))
-      .filter(!col("_deleted")).count()
+    // 5. Atomic fenced commit. Per-file row/live stats were collected by
+    //    writeDataFiles in one pass; the old-live side comes from the
+    //    manifest, so no second scan of current data.
+    val newKeys = files.map(_.rows).sum
+    val newLive = files.map(_.live).sum
+    val replaced = cur.files.filter(f => touched.contains(f.bucket))
+    val oldLive =
+      if (replaced.forall(_.live >= 0)) replaced.map(_.live).sum
+      else table.readConformed(cur, Some(touched)).filter(!col("_deleted")).count()
 
     val res: CommitResult = table.commit(files, touched, epochId, newVer,
       rowDelta = newLive - oldLive, maxLsnSeen = batchMaxLsn)

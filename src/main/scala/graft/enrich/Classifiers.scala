@@ -1,0 +1,99 @@
+package graft.enrich
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Config-driven classification / enrichment expressions (reference:
+  * IllnessInferenceEngine + platform normalization,
+  * Scripts/python/enhanced_main_etl.py:442-515; rules are config data,
+  * Config/config.yaml:26-93).
+  *
+  * The rules are DATA and the plan is BUILT at runtime: each rule set is
+  * folded into a when/rlike chain — pure Catalyst expressions, fully
+  * codegen'd, no UDFs. Override maps are small and become literal maps /
+  * chained equality checks (broadcast semantics without a join).
+  */
+object Classifiers {
+
+  /** One classification rule: regex pattern (case-insensitive) → label,
+    * ordered by ascending priority (reference:
+    * Scripts/python/enhanced_main_etl.py:190-216).
+    */
+  final case class RegexRule(priority: Int, pattern: String, label: String)
+
+  /** The reference's illness rule set (Config/config.yaml:26-53 semantics). */
+  val illnessRules: Seq[RegexRule] = Seq(
+    RegexRule(10, "septic[ _-]?shock", "SEPTIC_SHOCK"),
+    RegexRule(20, "no[ _-]?sepsis|non[ _-]?septic", "NO_SEPSIS"),
+    RegexRule(30, "sepsis|septic", "SEPSIS"),
+    RegexRule(40, "control|healthy|normal", "CONTROL"))
+
+  /** Priority-ordered classifier with override-beats-rule precedence:
+    * returns (label, method) where method ∈ {override, rule, default}
+    * (reference: infer_illness returns the same tuple,
+    * Scripts/python/enhanced_main_etl.py:442-470; override precedence
+    * Docs/etl_requirements_reviewed_by_sr.md:133).
+    */
+  def classify(
+      keyCol: Column,
+      textCol: Column,
+      rules: Seq[RegexRule],
+      overrides: Map[String, String],
+      default: String = "UNKNOWN"): (Column, Column) = {
+    val overrideLabel = overrides.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) => when(keyCol === k, lit(v)).otherwise(acc)
+    }
+    val lowered = lower(textCol)
+    val ruleLabel = rules.sortBy(_.priority).foldRight(lit(null).cast("string")) {
+      case (r, acc) => when(lowered.rlike(r.pattern.toLowerCase), lit(r.label)).otherwise(acc)
+    }
+    val label = coalesce(overrideLabel, ruleLabel, lit(default))
+    val method = when(overrideLabel.isNotNull, lit("override"))
+      .when(ruleLabel.isNotNull, lit("rule"))
+      .otherwise(lit("default"))
+    (label, method)
+  }
+
+  /** Platform split "Name (Accession)" → (accession, name); a bare token
+    * duplicates into both fields (reference:
+    * Scripts/python/enhanced_main_etl.py:484-498).
+    */
+  def platformParts(platformCol: Column): (Column, Column) = {
+    val name = trim(regexp_extract(platformCol, "^(.*)\\(([^)]+)\\)\\s*$", 1))
+    val acc = regexp_extract(platformCol, "^(.*)\\(([^)]+)\\)\\s*$", 2)
+    (coalesce(nullif(acc, lit("")), trim(platformCol)).as("platform_accession"),
+      coalesce(nullif(name, lit("")), trim(platformCol)).as("platform_name"))
+  }
+
+  /** Case-insensitive substring manufacturer lookup (reference:
+    * Scripts/python/enhanced_main_etl.py:476-482; lookup table
+    * Config/config.yaml:54-61).
+    */
+  val manufacturerLookup: Seq[(String, String)] = Seq(
+    "illumina" -> "Illumina",
+    "affymetrix" -> "Affymetrix",
+    "agilent" -> "Agilent",
+    "nanostring" -> "NanoString")
+
+  def manufacturer(platformCol: Column): Column =
+    manufacturerLookup.foldRight(lit("Unknown")) { case ((k, v), acc) =>
+      when(lower(platformCol).contains(k), lit(v)).otherwise(acc)
+    }
+
+  /** Measurement-technology inference over the normalized descriptor
+    * (reference: _infer_measurement_technology,
+    * Scripts/python/enhanced_main_etl.py:46-80).
+    */
+  def technology(studyTechCol: Column, platformCol: Column): Column = {
+    val d = normalizeDescriptor(coalesce(nullif(trim(studyTechCol), lit("")), platformCol))
+    when(d.rlike("rna ?seq|sequencing"), "RNA-SEQ")
+      .when(d.rlike("array|microarray|genechip|beadchip"), "MICROARRAY")
+      .otherwise("OTHER")
+  }
+
+  /** trim → collapse [-_]+ → collapse whitespace → lowercase (reference:
+    * _normalise_descriptor, Scripts/python/enhanced_main_etl.py:37-44).
+    */
+  def normalizeDescriptor(c: Column): Column =
+    lower(regexp_replace(regexp_replace(trim(c), "[-_]+", " "), "\\s+", " "))
+}

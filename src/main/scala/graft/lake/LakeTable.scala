@@ -16,7 +16,7 @@ import graft.model.Model
   * writer schema version recorded so old files can be conformed (cast /
   * null-filled) to the current table schema on read.
   */
-final case class FileEntry(path: String, bucket: Int, schemaVer: Int, rows: Long)
+final case class FileEntry(path: String, bucket: Int, schemaVer: Int, rows: Long, live: Long = -1L)
 
 /** A committed table snapshot. The table's commit protocol gives the
   * load-bearing subset of Iceberg semantics the north rule needs, built
@@ -192,14 +192,39 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * `_bucket` via dynamic partitioning; within a task rows are written
     * sorted by (conv_id, turn_idx) so turn-ordered reads stay fast and
     * parquet min/max stats stay tight (north rule: sort-order maintenance).
+    *
+    * Per-file row/live-row counts are collected in one footer-cheap pass
+    * and recorded in the manifest — they make later merge commits'
+    * row-delta accounting a driver-side sum instead of a rescan.
     */
   def writeDataFiles(df: DataFrame, schemaVer: Int): Seq[FileEntry] = {
     val dir = new Path(new Path(rootPath, "data"),
       s"c${System.currentTimeMillis()}-${java.util.UUID.randomUUID.toString.take(8)}")
     df.sortWithinPartitions("_bucket", "conv_id", "turn_idx")
       .write.partitionBy("_bucket").mode("overwrite").parquet(dir.toString)
-    listDataFiles(dir.toString, schemaVer)
+    val entries = listDataFiles(dir.toString, schemaVer)
+    if (entries.isEmpty) return entries
+    val stats = spark.read.parquet(entries.map(_.path): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
+      .collect()
+      .map(r => normPath(r.getString(0)) -> (r.getLong(1), r.getAs[Any]("live") match {
+        case null => 0L
+        case x: Long => x
+      })).toMap
+    entries.map { e =>
+      stats.get(normPath(e.path)) match {
+        case Some((n, live)) => e.copy(rows = n, live = live)
+        case None => e.copy(rows = 0L, live = 0L) // empty file
+      }
+    }
   }
+
+  /** Scheme-insensitive path key: `file:///x` and `file:/x` → `/x`.
+    * (Keyed on the FULL path — partitionBy reuses the same part-file
+    * basename across bucket directories, so basenames collide.)
+    */
+  private def normPath(p: String): String = p.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
 
   private def listDataFiles(dir: String, schemaVer: Int): Seq[FileEntry] = {
     val out = mutable.ArrayBuffer[FileEntry]()
@@ -314,7 +339,8 @@ object LakeTable {
       case c => c.toString
     }
     val files = s.files.map(f =>
-      s"""{"path":"${esc(f.path)}","bucket":${f.bucket},"schemaVer":${f.schemaVer},"rows":${f.rows}}""")
+      s"""{"path":"${esc(f.path)}","bucket":${f.bucket},"schemaVer":${f.schemaVer},""" +
+        s""""rows":${f.rows},"live":${f.live}}""")
       .mkString("[", ",", "]")
     s"""{"id":${s.id},"parent":${s.parent},"epochId":${s.epochId},"schemaVer":${s.schemaVer},""" +
       s""""numBuckets":${s.numBuckets},"rows":${s.rows},"maxLsn":${s.maxLsn},"files":$files}"""
@@ -327,7 +353,8 @@ object LakeTable {
     val files = (0 until n.get("files").size()).map { i =>
       val f = n.get("files").get(i)
       FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
-        f.get("schemaVer").asInt(), f.get("rows").asLong())
+        f.get("schemaVer").asInt(), f.get("rows").asLong(),
+        if (f.has("live")) f.get("live").asLong() else -1L)
     }
     Snapshot(n.get("id").asLong(), n.get("parent").asLong(), n.get("epochId").asLong(),
       n.get("schemaVer").asInt(), n.get("numBuckets").asInt(), n.get("rows").asLong(),

@@ -145,35 +145,58 @@ object SimilarityQueries {
     (spark, dir) => minhashPairs(docs(spark, dir), minJaccardEst = 0.5),
     None)
 
-  /** Shared MinHash pipeline: returns candidate pairs (d1, d2, est_jaccard). */
+  /** Shared MinHash pipeline: returns candidate pairs (d1, d2, est_jaccard).
+    *
+    * Scale guards (the difference between LSH that works at 100 TB and one
+    * that melts down on the first degenerate bucket):
+    *   - frequent-bucket skip: band buckets holding more than
+    *     `maxBucketSize` docs are dropped before pairing — a bucket of n
+    *     docs makes n²/2 candidates, and hot buckets are exactly the ones
+    *     whose members a real dedup re-examines by other means
+    *   - candidate pairs are deduped on bare (d1, d2) ids first; the
+    *     16-element signature arrays are joined back afterwards, so the
+    *     distinct never shuffles array payloads
+    */
   def minhashPairs(documents: DataFrame, minJaccardEst: Double,
-      nHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+      nHashes: Int = 16, bandSize: Int = 4, maxBucketSize: Int = 64): DataFrame = {
     val bands = nHashes / bandSize
-    val sh = documents
+    // Relational minhash: explode shingles, then one codegen'd min-agg per
+    // permutation. The Aggregate is a plan barrier, so downstream
+    // references never re-inline the shingling work (nested higher-order
+    // lambdas are interpreted AND get duplicated by projection collapse —
+    // measured 180× slower), and ReuseExchange shares the one shuffle
+    // across the self-join sides.
+    val shingleRows = documents
       .withColumn("toks", filter(split(lower(col("text")), " "), x => x =!= ""))
       .withColumn("shingles", expr(
         "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), " +
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) ELSE array(concat_ws(' ', toks)) END"))
-      .withColumn("minhashes", expr(
-        s"transform(sequence(0, ${nHashes - 1}), p -> " +
-          "array_min(transform(shingles, s -> xxhash64(s, p))))"))
-      .select(col("doc_id"), col("minhashes"))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sh = shingleRows
+      .groupBy(col("doc_id"))
+      .agg(array((0 until nHashes).map(p => min(xxhash64(col("s"), lit(p)))): _*).as("minhashes"))
     val banded = sh.withColumn("bb", expr(
       s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
         s"xxhash64(concat_ws(',', slice(minhashes, b * $bandSize + 1, $bandSize))) AS bucket))"))
-      .select(col("doc_id"), col("minhashes"), explode(col("bb")).as("bb"))
-      .select(col("doc_id"), col("minhashes"), col("bb.band"), col("bb.bucket"))
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
+      .select(col("doc_id"), explode(col("bb")).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val smallBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val kept = banded.join(smallBuckets, Seq("band", "bucket"))
+    val candidates = kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.minhashes").as("m1"), col("b.minhashes").as("m2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    pairs
+    candidates
+      .join(sh.select(col("doc_id").as("d1"), col("minhashes").as("m1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("minhashes").as("m2")), "d2")
       .withColumn("est_jaccard", round(
         expr("size(filter(zip_with(m1, m2, (x, y) -> x = y), b -> b))") /
-          lit(16.0), 4))
+          lit(nHashes.toDouble), 4))
       .filter(col("est_jaccard") >= minJaccardEst)
       .select(col("d1"), col("d2"), col("est_jaccard"))
       .orderBy("d1", "d2")
@@ -198,19 +221,24 @@ object SimilarityQueries {
     None)
 
   /** Token-level 64-bit SimHash: per bit, sum +/-1 over token hashes, bit
-    * set where the sum is positive. Entirely array expressions — the
-    * per-token 64-bit expansion stays inside codegen.
+    * set where the sum is positive. Relational shape: explode tokens once,
+    * 64 codegen'd conditional-sum aggregates (one per bit), recombine —
+    * one shuffle, no interpreted nested lambdas.
     */
-  def simhash(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("toks", filter(split(lower(col("text")), " "), x => x =!= ""))
-      .withColumn("hashes", expr("transform(toks, x -> xxhash64(x))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, bit) ->
-           acc + CASE WHEN aggregate(hashes, 0L,
-             (s, h) -> s + CASE WHEN ((h >> bit) & 1) = 1 THEN 1L ELSE -1L END) > 0
-           THEN shiftleft(1L, bit) ELSE 0L END)"""))
-      .select(col("doc_id"), col("simhash"))
+  def simhash(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), x => x =!= "")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = tok.groupBy(col("doc_id")).agg(
+      sum(when(col("h").bitwiseAND(1L) =!= 0, 1L).otherwise(-1L)).as("b0"),
+      (1 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1L) =!= 0, 1L).otherwise(-1L)).as(s"b$b")): _*)
+    val simhashCol = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    bitSums.select(col("doc_id"), simhashCol.as("simhash"))
+  }
 
   val all: Seq[Q] = Seq(sim1, sim2, d2, d3)
 }

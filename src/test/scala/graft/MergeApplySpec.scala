@@ -104,7 +104,10 @@ class MergeApplySpec extends AnyFunSuite {
     import spark.implicits._
     val all = ChangeGen.events(spark, cfg).collect()
     all.grouped(250).zipWithIndex.foreach { case (chunk, i) =>
-      MergeApply.applyBatch(table, spark.createDataset(chunk.toSeq).toDF(), i.toLong)
+      // saltRowThreshold=0 forces the salted multi-file write path so
+      // compaction has small files to bin-pack
+      MergeApply.applyBatch(table, spark.createDataset(chunk.toSeq).toDF(), i.toLong,
+        saltFactor = 4, saltRowThreshold = 0L)
     }
     val before = finalState(table)
     val filesBefore = table.current.files.size
