@@ -33,12 +33,23 @@ object PlanAudit {
     audit("j1_star_join",
       "customer+nation broadcast" -> (p => "BroadcastHashJoin".r.findAllIn(p).size >= 2),
       "partial aggregation" -> (_.contains("HashAggregate")))
-    // flagship agg: whole-stage codegen + partial agg + pruned columns
+    // flagship agg: partial agg + pruned columns; codegen is checked on the
+    // EXECUTED plan (AQE's formatted pre-execution plan hides codegen spans)
     audit("q1_agg",
-      "whole-stage codegen" -> (_.contains("WholeStageCodegen")),
+      "partial aggregation" -> (_.contains("partial_sum")),
       "column-pruned scan (<=4 data cols)" ->
         (p => p.linesIterator.find(_.contains("ReadSchema"))
           .forall(l => l.count(_ == ',') <= 4)))
+    locally {
+      val df = SparkEntry.queries("q1_agg")(spark, dir)
+      df.collect() // executes THIS plan (count() would wrap a new one)
+      val executed = df.queryExecution.executedPlan.toString
+      // codegen stages print as "WholeStageCodegen (n)" in formatted mode
+      // or as "*(n) Operator" markers in tree toString
+      val ok = executed.contains("WholeStageCodegen") || executed.contains("*(")
+      if (!ok) failures += 1
+      println(s"[audit] q1_agg :: whole-stage codegen (executed plan) -> ${if (ok) "OK" else "VIOLATED"}")
+    }
     // anti join stays a real join, no cartesian
     audit("j5_anti_join_dedup",
       "left anti join" -> (p => p.contains("LeftAnti")),

@@ -120,6 +120,28 @@ class MergeApplySpec extends AnyFunSuite {
     assert(finalState(table) == before)
   }
 
+  test("schema v3 widening: turn_idx int32→int64, old files conform on read") {
+    import spark.implicits._
+    val root = tmp()
+    val table = LakeTable.create(spark, root, schemaVer = 1, numBuckets = 4)
+    val ts = new java.sql.Timestamp(1704067200000L)
+    def ev(lsn: Long, ver: Int, conv: String, turn: Int, text: String) =
+      Model.ChangeEvent(lsn, "I", ver, conv, turn, Some("user"), Some(text), None, Some(ts))
+    // v1 batch, then a v3 batch triggers the widening evolution
+    MergeApply.applyBatch(table, spark.createDataset(Seq(
+      ev(1, 1, "a", 1, "one"), ev(2, 1, "b", 2, "two"))).toDF(), 0)
+    assert(table.current.schemaVer == 1)
+    MergeApply.applyBatch(table, spark.createDataset(Seq(
+      ev(3, 3, "c", 3, "three"))).toDF(), 1)
+    assert(table.current.schemaVer == 3)
+    val out = table.read()
+    assert(out.schema("turn_idx").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.schema.fieldNames.contains("tool")) // v2 column present too
+    val rows = out.orderBy("conv_id").select($"conv_id", $"turn_idx", $"text")
+      .as[(String, Long, String)].collect().toSeq
+    assert(rows == Seq(("a", 1L, "one"), ("b", 2L, "two"), ("c", 3L, "three")))
+  }
+
   test("deterministic across parallelism: local generator slice equality") {
     val cfg = GenConfig(numEvents = 1000)
     val a = (0L until cfg.totalRows).map(i => ChangeGen.rowAt(cfg, i))
