@@ -28,7 +28,10 @@ object Bench {
     // interval, large enough that merge compute dominates per-batch fixed
     // costs (at 2M-event batches the whole merge takes ~5 s and scheduling
     // overhead hides the parallelism).
-    val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "20000000").toLong
+    // 12M-event micro-batches: per-batch driver-side fixed time (commit,
+    // stats, scheduling ≈ 3 s) does not scale with cores, so batches must
+    // be large enough that it stays a small fraction of the N-core wall.
+    val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "24000000").toLong
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "2").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
     // Scaling pair N vs 4N. Default N=1 (→ 4N=4): this VM's memory

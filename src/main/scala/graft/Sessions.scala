@@ -19,6 +19,11 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // Survive multi-minute hypervisor pauses on the shared sandbox host
+      // (a 260 s whole-JVM freeze was observed); without this the local
+      // executor gets heartbeat-evicted and the session is dead.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
   }
 }
