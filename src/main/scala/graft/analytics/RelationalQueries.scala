@@ -553,6 +553,85 @@ object RelationalQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
             FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
-  val all: Seq[Q] = Seq(m1, t3, j5, m7, c8, q1, a1, a2, a3, a4, a9,
-    j1, j2, j4, j6, j8, p1, p4, p6, p8, p9, c1, c2, w1, w2)
+  /** A6 ▸ throughput derivation guarded against /0 (reference:
+    * vw_etl_performance rows_per_second,
+    * Scripts/database_schema.sql:508-525): events/sec per user session
+    * window (min..max ts).
+    */
+  private val a6 = Q("a6_throughput",
+    (spark, dir) =>
+      t(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("span_sec"))
+        .select(col("user_id"), col("n_events"), col("span_sec"),
+          when(col("span_sec") > 0,
+            round(col("n_events") / col("span_sec"), 6)).as("events_per_sec"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id, n_events, span_sec,
+            CASE WHEN span_sec > 0 THEN round(n_events * 1.0 / span_sec, 6) END AS events_per_sec
+            FROM (SELECT user_id, count(*) AS n_events,
+                   CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_sec
+                  FROM events GROUP BY user_id)
+            ORDER BY user_id"""))
+
+  /** A7 ▸ validation-score rollup: pass/fail/warn conditional counts +
+    * quality percentage (reference:
+    * Scripts/ETL_Framework_Implementation.sql:529-541).
+    */
+  private val a7 = Q("a7_validation_rollup",
+    (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_warn"),
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n_fail"))
+        .select(col("l_returnflag"), col("n"), col("n_warn"), col("n_fail"),
+          round((col("n") - col("n_fail") - col("n_warn")) * 100.0 / col("n"), 4)
+            .as("quality_pct"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, n, n_warn, n_fail,
+            round((n - n_fail - n_warn) * 100.0 / n, 4) AS quality_pct
+            FROM (SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_warn,
+                   CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+                  FROM lineitem GROUP BY l_returnflag)
+            ORDER BY l_returnflag"""))
+
+  /** S5 ▸ source discovery: enumerate + pattern-filter source identifiers
+    * (reference: _discover_studies regex-matched dir listing,
+    * Scripts/python/enhanced_main_etl.py:1205-1215).
+    */
+  private val s5 = Q("s5_discovery",
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("source")).distinct()
+        .filter(col("source").rlike("^src[0-9]+$"))
+        .withColumn("source_num",
+          expr("CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)"))
+        .orderBy("source"),
+    Some("""SELECT source, CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS source_num
+            FROM (SELECT DISTINCT source FROM documents)
+            WHERE regexp_matches(source, '^src[0-9]+$') ORDER BY source"""))
+
+  /** W4 ▸ canonical pair key via least/greatest + coalesce (reference:
+    * LEAST/GREATEST pair canonicalization,
+    * Docs/etl_requirements_reviewed_by_sr.md:382,430-431).
+    */
+  private val w4 = Q("w4_least_greatest",
+    (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          least(col("l_partkey"), col("l_suppkey")).as("pair_lo"),
+          greatest(col("l_partkey"), col("l_suppkey")).as("pair_hi"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), col("l_linestatus")).as("flag_or_status"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+            least(l_partkey, l_suppkey) AS pair_lo,
+            greatest(l_partkey, l_suppkey) AS pair_hi,
+            coalesce(nullif(l_returnflag, 'N'), l_linestatus) AS flag_or_status
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  val all: Seq[Q] = Seq(m1, t3, j5, m7, c8, q1, a1, a2, a3, a4, a6, a7, a9,
+    j1, j2, j4, j6, j8, p1, p4, p6, p8, p9, c1, c2, s5, w1, w2, w4)
 }
