@@ -186,6 +186,20 @@ object Bench {
     md ++= "  measurement: 3.36x speedup 1->4 = 0.84).\n\n"
     md ++= "Per-query seconds:\n\n| query | sec |\n|---|---|\n"
     queryTimes.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
+    if (queryTimes.isEmpty) {
+      // replay-only run: keep the previous run's per-query table
+      val prev = Paths.get("BENCH/BASELINE.md")
+      if (Files.exists(prev)) {
+        val old = Files.readString(prev)
+        val i = old.indexOf("Per-query seconds:")
+        if (i >= 0) {
+          val keep = md.toString
+          val cut = keep.indexOf("Per-query seconds:")
+          md.setLength(0)
+          md ++= keep.take(cut) + old.substring(i)
+        }
+      }
+    }
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md.toString)
     ()
