@@ -31,7 +31,7 @@ object Bench {
     // 12M-event micro-batches: per-batch driver-side fixed time (commit,
     // stats, scheduling ≈ 3 s) does not scale with cores, so batches must
     // be large enough that it stays a small fraction of the N-core wall.
-    val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "24000000").toLong
+    val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "16000000").toLong
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "2").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
     // Scaling pair N vs 4N. Default N=1 (→ 4N=4): this VM's memory
