@@ -28,8 +28,18 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = cdcReplay(spark, events = 3000L, batches = 3)
 
-  private def cdcReplay(spark: SparkSession, events: Long, batches: Int): DataFrame = {
+  /** Where the driver-checked replay dumps its change log so the DuckDB
+    * oracle can recompute the expected final state from the same events
+    * (driver and verify run on the same host; /tmp is shared).
+    */
+  private val changeLogDump = "/tmp/graft_oracle/cdc_change_events"
+
+  private def cdcReplay(
+      spark: SparkSession, events: Long, batches: Int,
+      dumpDir: Option[String] = None): DataFrame = {
     val cfg = GenConfig(numEvents = events)
+    dumpDir.foreach(d =>
+      ChangeGen.events(spark, cfg).toDF().coalesce(1).write.mode("overwrite").parquet(d))
     val root = java.nio.file.Files.createTempDirectory("graft-entry-").toString + "/transcripts"
     val table = LakeTable.create(spark, root, schemaVer = 1, numBuckets = 8)
     val per = (cfg.totalRows + batches - 1) / batches
@@ -40,14 +50,29 @@ object SparkEntry {
     table.read().orderBy("conv_id", "turn_idx")
   }
 
+  /** DuckDB oracle for the flagship: last-writer-wins by LSN per
+    * (conv_id, turn_idx), tombstones win and stay dead — the naive
+    * restatement of the merge kernel over the dumped change log.
+    */
+  private val cdcReplayOracle: String =
+    s"""SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY lsn DESC) AS rn
+          FROM read_parquet('$changeLogDump/*.parquet'))
+        WHERE rn = 1 AND op <> 'D'
+        ORDER BY conv_id, turn_idx"""
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.run).toMap +
-      ("cdc_replay_final_state" -> ((s: SparkSession, _: String) => cdcReplay(s, 2000L, 2)))
+      ("cdc_replay_final_state" ->
+        ((s: SparkSession, _: String) => cdcReplay(s, 2000L, 2, Some(changeLogDump))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    catalog.flatMap(q => q.oracle.map(o => q.name -> o.linesIterator.map(_.trim).mkString(" "))).toMap
+    (catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap +
+      ("cdc_replay_final_state" -> cdcReplayOracle))
+      .map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

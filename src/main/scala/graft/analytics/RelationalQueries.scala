@@ -69,11 +69,14 @@ object RelationalQueries {
   private val j5 = Q("j5_anti_join_dedup",
     (spark, dir) => {
       val e = t(spark, dir, "events")
-      val kv = e.agg(floor(max(col("event_id")) / 2.0).cast("long")).head.getLong(0)
-      val existing = e.filter(col("event_id") <= kv)
-        .select(col("user_id"), floor(col("value")).cast("long").as("vb")).distinct()
-      e.filter(col("event_id") > kv)
-        .withColumn("vb", floor(col("value")).cast("long"))
+      // Scalar threshold as a broadcast 1-row aggregate crossJoin — the
+      // whole query is ONE plan / one job (a driver-side `.head` probe
+      // would force a second job and a full extra scan at scale).
+      val k = broadcast(e.agg(floor(max(col("event_id")) / 2.0).cast("long").as("kv")))
+      val withK = e.crossJoin(k).withColumn("vb", floor(col("value")).cast("long"))
+      val existing = withK.filter(col("event_id") <= col("kv"))
+        .select(col("user_id"), col("vb")).distinct()
+      withK.filter(col("event_id") > col("kv"))
         .join(existing, Seq("user_id", "vb"), "left_anti")
         .select(col("event_id"), col("user_id"), col("event_type"), col("vb"))
         .orderBy("event_id")
@@ -349,8 +352,10 @@ object RelationalQueries {
     (spark, dir) => {
       val c = t(spark, dir, "customer")
       val o = t(spark, dir, "orders")
-      val th = o.agg(avg(col("o_totalprice")) * 1.5).head.getDouble(0)
-      val big = o.filter(col("o_totalprice") > th).select(col("o_custkey")).distinct()
+      // One plan: the scalar threshold rides as a broadcast 1-row agg.
+      val th = broadcast(o.agg((avg(col("o_totalprice")) * 1.5).as("th")))
+      val big = o.crossJoin(th).filter(col("o_totalprice") > col("th"))
+        .select(col("o_custkey")).distinct()
       c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")

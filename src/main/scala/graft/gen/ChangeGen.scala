@@ -86,12 +86,18 @@ object ChangeGen {
     if (i < cfg.numEvents) eventAt(cfg, i)
     else eventAt(cfg, posMod(h(cfg.seed, i, 8), math.min(cfg.numEvents, Int.MaxValue).toInt).toLong)
 
-  /** Emission-order key: LSN perturbed within a bounded window, giving the
-    * ~5% bounded out-of-order arrival the fixture calls for.
+  /** Emission-order key: LSN perturbed by a bounded FORWARD offset at
+    * stride 1, so neighboring events genuinely swap places — an event with
+    * lsn L and offset near `oooWindow` sorts after events up to
+    * `lsn + oooWindow - 1` with small offsets. This produces real
+    * out-of-order arrival (inversions), bounded by the window; a stride
+    * wider than the window would keep the stream fully sorted and make the
+    * out-of-order fixture claim vacuous (ChangeGenSpec asserts inversions
+    * exist).
     */
   def emitKey(cfg: GenConfig, i: Long): Long = {
     val e = rowAt(cfg, i)
-    e.lsn * 128 + posMod(h(cfg.seed, i, 9), cfg.oooWindow)
+    e.lsn + posMod(h(cfg.seed, i, 9), cfg.oooWindow)
   }
 
   /** Distributed generation: one deterministic row per index. */
@@ -108,12 +114,15 @@ object ChangeGen {
     spark.range(from, until).as[Long].map(i => rowAt(cfg, i))
   }
 
-  /** Events in (perturbed) emission order — for writing stream input files. */
+  /** Events in (perturbed) emission order — for writing stream input files.
+    * Generator index is the tiebreak so the emission order is total and
+    * reproducible across runs/parallelism.
+    */
   def emittedEvents(spark: SparkSession, cfg: GenConfig): Dataset[ChangeEvent] = {
     import spark.implicits._
     spark.range(0, cfg.totalRows).as[Long]
-      .map(i => (emitKey(cfg, i), rowAt(cfg, i)))
-      .orderBy("_1").map(_._2)
+      .map(i => (emitKey(cfg, i), i, rowAt(cfg, i)))
+      .orderBy("_1", "_2").map(_._3)
   }
 
   /** The reference oracle: a deliberately naive in-memory fold by ascending

@@ -108,19 +108,31 @@ object SimilarityQueries {
       .drop("_planes")
   }
 
-  /** SIM2 ▸ LSH-bucketed approximate NN: candidates = pairs sharing any
-    * band bucket (equi-join on (band, bucket)), exact cosine re-rank to
-    * top-5. Engine-only (rows-only driver check); recall vs sim1 is
-    * asserted in SimilaritySpec.
+  /** SIM2 ▸ multi-probe LSH approximate NN: candidates = (query, neighbor)
+    * pairs whose band signatures are within Hamming distance 1 in any band
+    * — implemented as an equi-join on (band, bucket) after exploding each
+    * QUERY band into its bucket plus all 1-bit-flip probe buckets
+    * (candidate side stays exact, so the index is untouched). Exact cosine
+    * re-rank to top-5. Engine-only (rows-only driver check); recall vs
+    * sim1 is asserted in SimilaritySpec (≥0.8 floor).
+    *
+    * Multi-probe is the scale lever: it buys recall without adding hash
+    * tables, so the index shuffle stays one (band, bucket) exchange. Band
+    * width (`bandBits`) is the selectivity knob — sized ~log2(n)/bands at
+    * production scale so probe fan-out × bucket size stays bounded.
     */
   private[sim] val sim2 = Q("sim2_lsh_ann",
     (spark, dir) => {
-      val e = withLshBands(emb(spark, dir), "embedding", nPlanes = 16, bandBits = 4)
+      val bandBits = 4
+      val e = withLshBands(emb(spark, dir), "embedding", nPlanes = 16, bandBits = bandBits)
         .select(col("vec_id"), col("embedding"), explode(col("bands")).as("bb"))
         .select(col("vec_id"), col("embedding"),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // 1-bit-flip probe set: the bucket itself + bandBits neighbors.
+      val probes = (0 until bandBits).map(b => col("bucket").bitwiseXOR(lit(1 << b))) :+ col("bucket")
       val q = e.filter(col("vec_id") < 30)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("band"), col("bucket"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("band"),
+          explode(array(probes: _*)).as("bucket"))
       val cands = q.join(
         e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -202,42 +214,93 @@ object SimilarityQueries {
       .orderBy("d1", "d2")
   }
 
-  /** D3 ▸ 64-bit SimHash per document + same-high-16-bit-bucket candidate
-    * pairs with Hamming distance ≤ 8. Engine-only.
+  /** Number of SimHash bits. 63 (not 64) keeps the fingerprint
+    * non-negative in a signed long, so `>>`, `xor` and `bit_count` behave
+    * identically in Spark and DuckDB with no sign-extension edge cases.
+    */
+  val simhashBits = 63
+
+  /** Hot-bucket guard shared by d2/d3: a bucket of n members yields n²/2
+    * candidate pairs, so one degenerate bucket melts the join at scale.
+    */
+  val maxSimhashBucket = 64
+
+  private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** D3 ▸ 63-bit SimHash per document + same-high-16-bit-bucket candidate
+    * pairs with Hamming distance ≤ 8. Token hash bits are sha256-derived
+    * (bit b = high bit of hex digit b of sha256(token)) so the whole
+    * operator is byte-reproducible in DuckDB — the driver hash-checks it.
+    *
+    * Scale guards: bucket-join (never all-pairs) + frequent-bucket skip
+    * (buckets over [[maxSimhashBucket]] docs are dropped before pairing,
+    * mirroring the d2 MinHash guard).
     */
   private[sim] val d3 = Q("d3_simhash",
     (spark, dir) => {
       val sh = simhash(docs(spark, dir))
-      val bucketed = sh.withColumn("bucket", expr("simhash >> 48"))
-      bucketed.as("a")
-        .join(bucketed.as("b"),
+      val bucketed = sh.withColumn("bucket", shiftright(col("simhash"), simhashBits - 16))
+      val small = bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxSimhashBucket)
+        .select(col("bucket"))
+      val kept = bucketed.join(small, Seq("bucket"))
+      kept.as("a")
+        .join(kept.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("hamming",
-          expr("bit_count(a.simhash ^ b.simhash)"))
+          expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)"))
         .filter(col("hamming") <= 8)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("hamming"))
         .orderBy("d1", "d2")
     },
-    None)
+    Some(d3OracleSql))
 
-  /** Token-level 64-bit SimHash: per bit, sum +/-1 over token hashes, bit
-    * set where the sum is positive. Relational shape: explode tokens once,
-    * 64 codegen'd conditional-sum aggregates (one per bit), recombine —
-    * one shuffle, no interpreted nested lambdas.
+  /** Token-level SimHash: per bit, sum +/-1 over token hashes, bit set
+    * where the sum is positive. Relational shape: explode tokens once,
+    * [[simhashBits]] codegen'd conditional-sum aggregates (one per bit),
+    * recombine — one shuffle, no interpreted nested lambdas. The per-token
+    * hash is the sha256 hex string; bit b reads the high bit of hex digit
+    * b (uniform, and exactly reproducible in any engine with sha256).
     */
   def simhash(documents: DataFrame): DataFrame = {
     val tok = documents
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), " "), x => x =!= "")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), sha2(col("t"), 256).as("h"))
     val bitSums = tok.groupBy(col("doc_id")).agg(
-      sum(when(col("h").bitwiseAND(1L) =!= 0, 1L).otherwise(-1L)).as("b0"),
-      (1 until 64).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1L) =!= 0, 1L).otherwise(-1L)).as(s"b$b")): _*)
-    val simhashCol = (0 until 64).map { b =>
+      sum(when(substring(col("h"), 1, 1).isin(hexHigh: _*), 1L).otherwise(-1L)).as("b0"),
+      (1 until simhashBits).map(b =>
+        sum(when(substring(col("h"), b + 1, 1).isin(hexHigh: _*), 1L).otherwise(-1L)).as(s"b$b")): _*)
+    val simhashCol = (0 until simhashBits).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     bitSums.select(col("doc_id"), simhashCol.as("simhash"))
+  }
+
+  /** DuckDB twin of d3, generated (63 conditional-sum columns). */
+  private def d3OracleSql: String = {
+    val inList = hexHigh.map(h => s"'$h'").mkString(", ")
+    val bitSums = (0 until simhashBits).map(b =>
+      s"CAST(sum(CASE WHEN substr(h, ${b + 1}, 1) IN ($inList) THEN 1 ELSE -1 END) AS BIGINT) AS b$b")
+      .mkString(", ")
+    val shSum = (0 until simhashBits).map(b =>
+      s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+          SELECT doc_id, sha256(t) AS h FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents) WHERE t <> ''),
+        bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
+        sh AS (SELECT doc_id, $shSum AS simhash FROM bits),
+        bkt AS (SELECT doc_id, simhash, simhash >> ${simhashBits - 16} AS bucket FROM sh),
+        small AS (SELECT bucket FROM bkt GROUP BY bucket
+                  HAVING count(*) <= $maxSimhashBucket),
+        kept AS (SELECT b.* FROM bkt b JOIN small USING (bucket))
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        ORDER BY d1, d2"""
   }
 
   val all: Seq[Q] = Seq(sim1, sim2, d2, d3)

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.SimilarityQueries
+
+/** Recall gate for the approximate-NN path: the LSH-bucketed sim2 must
+  * recover a floor fraction of the exact brute-force sim1 top-5 neighbor
+  * sets on the driver testdata embeddings. This is the verification story
+  * for the operator the DuckDB oracle can't express (candidate generation
+  * is hash-bucketed, not SQL-reproducible).
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local(8, appName = "similarity-spec")
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def topk(name: String): Map[Long, Set[Long]] = {
+    val q = graft.SparkEntry.queries(name)
+    q(spark, sfDir).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("nid"))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+  }
+
+  test("sim2 LSH ANN recall >= 0.8 of sim1 exact top-5") {
+    val exact = topk("sim1_cosine_topk")
+    val approx = topk("sim2_lsh_ann")
+    assert(exact.nonEmpty)
+    val (hit, total) = exact.foldLeft((0, 0)) { case ((h, t), (qid, nbrs)) =>
+      (h + approx.getOrElse(qid, Set.empty).intersect(nbrs).size, t + nbrs.size)
+    }
+    val recall = hit.toDouble / total
+    assert(recall >= 0.8, f"sim2 recall $recall%.3f < 0.8 ($hit/$total)")
+  }
+}
