@@ -1,0 +1,226 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.analytics.RelationalQueries.Q
+import graft.enrich.Classifiers
+
+/** S2/C7 ▸ the JSON metadata source: a nested single-document JSON file
+  * with map-shaped `experiments{}` / `samples{}` sections and array fields
+  * (`organisms[]`, `sample_accession_codes[]`), read and flattened into
+  * study/sample dimension inputs (reference: extract_json_metadata +
+  * _transform_study, Scripts/python/enhanced_main_etl.py:344-373,642-653;
+  * goldens test_enhanced_etl.py:276-324).
+  *
+  * Spark mapping: the document parses against an explicit schema whose
+  * `experiments`/`samples` sections are `MapType(String, Struct)` — the
+  * scalable shape, since study/sample accessions are DATA (map keys), not
+  * schema. `explode(map_entries(...))` flattens each map to rows;
+  * `element_at(organisms, 1)` is the head-of-array study projection (C7).
+  * Everything is builtin Catalyst — no UDFs.
+  *
+  * The fixture is generated deterministically (seed-fixed splitmix64 — no
+  * external data) and shaped like the reference's aggregated_metadata.json.
+  */
+object JsonMetadata {
+
+  // ---- schema (the contract of the metadata document) ----
+
+  val sampleSchema: StructType = StructType(Seq(
+    StructField("refinebio_title", StringType),
+    StructField("refinebio_organism", StringType),
+    StructField("refinebio_platform", StringType),
+    StructField("refinebio_processed", BooleanType)))
+
+  val experimentSchema: StructType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("technology", StringType),
+    StructField("pubmed_id", StringType),
+    StructField("organisms", ArrayType(StringType)),
+    StructField("sample_accession_codes", ArrayType(StringType))))
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("created_at", StringType),
+    StructField("aggregate_by", StringType),
+    StructField("quantile_normalized", BooleanType),
+    StructField("ks_statistic", DoubleType),
+    StructField("experiments", MapType(StringType, experimentSchema)),
+    StructField("samples", MapType(StringType, sampleSchema))))
+
+  // ---- read path ----
+
+  /** Read the whole-file JSON document against [[docSchema]]. Whole-file
+    * text + `from_json` (rather than schema inference) because the
+    * experiments/samples keys are accessions: inference would mint one
+    * struct field per study — unbounded schema. One document per file;
+    * many files parallelize by file.
+    */
+  def readDoc(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(from_json(col("value"), docSchema).as("doc"))
+      .select(col("doc.*"))
+
+  /** Study dimension records (C7): one row per experiments{} entry,
+    * `organisms[0]` head-of-array, sample count from the membership list.
+    */
+  def studies(doc: DataFrame): DataFrame =
+    doc.select(explode(map_entries(col("experiments"))).as("e"))
+      .select(
+        col("e.key").as("study"),
+        col("e.value.title").as("title"),
+        col("e.value.technology").as("technology"),
+        col("e.value.pubmed_id").as("pubmed_id"),
+        element_at(col("e.value.organisms"), 1).as("organism"),
+        size(col("e.value.sample_accession_codes")).as("n_samples"))
+
+  /** Sample records joined to their study membership (S2): samples{} map
+    * exploded, membership from each experiment's sample_accession_codes
+    * list, platform split into (accession, name) — reference C2 parse.
+    */
+  def samples(doc: DataFrame): DataFrame = {
+    val membership = doc
+      .select(explode(map_entries(col("experiments"))).as("e"))
+      .select(col("e.key").as("study"),
+        explode(col("e.value.sample_accession_codes")).as("sample_accession"))
+    val samp = doc.select(explode(map_entries(col("samples"))).as("s"))
+      .select(
+        col("s.key").as("sample_accession"),
+        col("s.value.refinebio_title").as("sample_title"),
+        col("s.value.refinebio_organism").as("organism"),
+        col("s.value.refinebio_platform").as("platform"))
+    val (acc, name) = Classifiers.platformParts(col("platform"))
+    samp.join(membership, Seq("sample_accession"))
+      .select(col("sample_accession"), col("study"), col("sample_title"),
+        col("organism"), acc, name)
+  }
+
+  // ---- deterministic fixture (reference-shaped; no external data) ----
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4B9B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  @inline private def pick[A](xs: IndexedSeq[A], seed: Long, a: Long, b: Long): A =
+    xs(((mix(mix(seed ^ a) ^ b) % xs.length).toInt + xs.length) % xs.length)
+
+  private val titles = IndexedSeq(
+    "Septic shock patient whole blood",
+    "Sepsis case day 1 PBMC",
+    "Healthy control donor",
+    "No sepsis ICU admission",
+    "Normal tissue baseline",
+    "Non-septic trauma cohort")
+  private val platforms = IndexedSeq(
+    "Illumina HiSeq 2000 (IlluminaHiSeq2000)",
+    "Affymetrix Human Genome U133 Plus 2.0 (hgu133plus2)",
+    "Agilent-014850 Whole Genome (GPL6480)",
+    "NextSeq550")
+  private val organisms = IndexedSeq("HOMO_SAPIENS", "MUS_MUSCULUS", "RATTUS_NORVEGICUS")
+  private val technologies = IndexedSeq("RNA-SEQ", "MICROARRAY")
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Reference-shaped metadata document: `nStudies` experiments each owning
+    * `samplesPerStudy` samples, stable key order, all values pure functions
+    * of (seed, index).
+    */
+  def fixtureJson(nStudies: Int = 6, samplesPerStudy: Int = 8, seed: Long = 42L): String = {
+    val sb = new StringBuilder
+    sb ++= """{"created_at": "2024-01-01T00:00:00Z", "aggregate_by": "EXPERIMENT", """
+    sb ++= """"quantile_normalized": true, "ks_statistic": 0.125, "experiments": {"""
+    val studyIds = (0 until nStudies).map(i => f"SRP${100000 + i * 37}%06d")
+    def sampleIds(s: Int) = (0 until samplesPerStudy).map(j => f"SRS${1000000 + s * 1000 + j * 13}%07d")
+    sb ++= studyIds.zipWithIndex.map { case (sid, i) =>
+      val orgs = organisms.drop(i % 2).take(1 + (i % 2)) // 1 or 2 organisms
+      s""""$sid": {"title": "${esc(pick(titles, seed, i, 1))} study $i", """ +
+        s""""technology": "${pick(technologies, seed, i, 2)}", """ +
+        s""""pubmed_id": "${30000000 + i * 991}", """ +
+        s""""organisms": [${orgs.map(o => s""""$o"""").mkString(", ")}], """ +
+        s""""sample_accession_codes": [${sampleIds(i).map(x => s""""$x"""").mkString(", ")}]}"""
+    }.mkString(", ")
+    sb ++= """}, "samples": {"""
+    sb ++= studyIds.indices.flatMap { i =>
+      sampleIds(i).zipWithIndex.map { case (acc, j) =>
+        s""""$acc": {"refinebio_title": "${esc(pick(titles, seed, i * 100 + j, 3))} rep $j", """ +
+          s""""refinebio_organism": "${pick(organisms, seed, i * 100 + j, 4)}", """ +
+          s""""refinebio_platform": "${esc(pick(platforms, seed, i * 100 + j, 5))}", """ +
+          s""""refinebio_processed": ${(j % 3) != 0}}"""
+      }
+    }.mkString(", ")
+    sb ++= "}}"
+    sb.toString
+  }
+
+  /** Write the fixture document (plain file write — it is ONE json doc). */
+  def writeFixture(path: String, json: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.write(p, json.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  // ---- driver catalog entries ----
+
+  private val fixturePath = "/tmp/graft_oracle/metadata.json"
+
+  private def fixtureDoc(spark: SparkSession): DataFrame = {
+    writeFixture(fixturePath, fixtureJson())
+    readDoc(spark, fixturePath)
+  }
+
+  private val platformRe = """^(.*)\(([^)]+)\)\s*$"""
+
+  /** DuckDB reads the same document with MAP-typed columns; parallel
+    * unnest of map_keys/map_values is the explode(map_entries) twin.
+    */
+  private def duckMaps: String =
+    s"""read_json('$fixturePath', columns={
+        experiments: 'MAP(VARCHAR, STRUCT(title VARCHAR, technology VARCHAR,
+                           pubmed_id VARCHAR, organisms VARCHAR[],
+                           sample_accession_codes VARCHAR[]))',
+        samples: 'MAP(VARCHAR, STRUCT(refinebio_title VARCHAR,
+                       refinebio_organism VARCHAR, refinebio_platform VARCHAR,
+                       refinebio_processed BOOLEAN))'})"""
+
+  private val s2 = Q("s2_json_metadata",
+    (spark, _) => samples(fixtureDoc(spark)).orderBy("study", "sample_accession"),
+    Some(s"""WITH doc AS (SELECT * FROM $duckMaps),
+          mem AS (SELECT unnest(map_keys(experiments)) AS study,
+                         unnest(map_values(experiments)) AS ev FROM doc),
+          memx AS (SELECT study, unnest(ev.sample_accession_codes) AS sample_accession FROM mem),
+          smp AS (SELECT unnest(map_keys(samples)) AS sample_accession,
+                         unnest(map_values(samples)) AS sv FROM doc)
+          SELECT s.sample_accession, m.study,
+                 sv.refinebio_title AS sample_title,
+                 sv.refinebio_organism AS organism,
+                 coalesce(nullif(regexp_extract(sv.refinebio_platform, '$platformRe', 2), ''),
+                          trim(sv.refinebio_platform)) AS platform_accession,
+                 coalesce(nullif(trim(regexp_extract(sv.refinebio_platform, '$platformRe', 1)), ''),
+                          trim(sv.refinebio_platform)) AS platform_name
+          FROM smp s JOIN memx m ON m.sample_accession = s.sample_accession
+          ORDER BY m.study, s.sample_accession"""))
+
+  private val c7 = Q("c7_study_transform",
+    (spark, _) => studies(fixtureDoc(spark)).orderBy("study"),
+    Some(s"""WITH doc AS (SELECT * FROM $duckMaps),
+          e AS (SELECT unnest(map_keys(experiments)) AS study,
+                       unnest(map_values(experiments)) AS ev FROM doc)
+          SELECT study, ev.title AS title, ev.technology AS technology,
+                 ev.pubmed_id AS pubmed_id,
+                 ev.organisms[1] AS organism,
+                 CAST(len(ev.sample_accession_codes) AS INTEGER) AS n_samples
+          FROM e ORDER BY study"""))
+
+  val all: Seq[Q] = Seq(s2, c7)
+}
