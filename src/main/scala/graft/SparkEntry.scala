@@ -21,7 +21,8 @@ import graft.textops.TextQueries
 object SparkEntry {
 
   private val catalog = RelationalQueries.all ++ TextQueries.all ++
-    SimilarityQueries.all ++ graft.sources.JsonMetadata.all
+    SimilarityQueries.all ++ graft.sources.JsonMetadata.all ++
+    graft.analytics.IncrementalStats.all
 
   /** Flagship: end-to-end CDC replay — generate a deterministic change
     * stream, merge-apply it into a fresh lake table in 3 epochs (schema

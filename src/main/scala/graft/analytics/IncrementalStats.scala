@@ -1,0 +1,140 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.analytics.RelationalQueries.Q
+import graft.cdc.MergeApply
+import graft.lake.LakeTable
+
+/** T5 ▸ incremental sufficient-statistics upsert — the reference's
+  * "update pooled stats per new study WITHOUT a full rescan" promise
+  * (reference: Docs/etl_requirements_reviewed_by_sr.md:420,622-625)
+  * running on the engine's own machinery: per micro-batch, aggregate
+  * per-group sufficient-stat DELTAS (k, Σw, Σw², Σwθ, Σwθ²) and MERGE-ADD
+  * them into a snapshot-committed stats LakeTable (epoch-fenced, bucketed,
+  * copy-on-write — the same commit protocol as the transcript table).
+  * Pooled DerSimonian–Laird columns are closed-form derivations ON READ,
+  * so the stored state stays additive and the merge stays commutative:
+  * batch order cannot change the final state.
+  *
+  * Scale shape: each batch costs one partial-aggregated scan of the batch
+  * plus a rewrite of touched stat buckets — state size is O(groups), never
+  * O(events), which is exactly why the incremental path beats the full
+  * rescan at 10^10 events.
+  */
+object IncrementalStats {
+
+  /** Stored state: one row per group of additive sufficient statistics. */
+  val statsSchema: StructType = StructType(Seq(
+    StructField("group_key", StringType, nullable = false),
+    StructField("k", LongType),
+    StructField("s1", DoubleType),
+    StructField("s2", DoubleType),
+    StructField("st", DoubleType),
+    StructField("st2", DoubleType)))
+
+  val registry: Map[Int, StructType] = Map(1 -> statsSchema)
+
+  private val statCols = Seq("k", "s1", "s2", "st", "st2")
+
+  def createTable(spark: SparkSession, root: String, numBuckets: Int = 8): LakeTable =
+    LakeTable.create(spark, root, schemaVer = 1, numBuckets = numBuckets,
+      registry = registry, keyCols = Seq("group_key"))
+
+  /** Per-group sufficient-stat deltas of one batch of (group_key, theta, w)
+    * observations — the map-side-combined single shuffle per batch.
+    */
+  def deltas(obs: DataFrame): DataFrame =
+    obs.groupBy(col("group_key")).agg(
+      count(lit(1)).as("k"),
+      sum(col("w")).as("s1"),
+      sum(col("w") * col("w")).as("s2"),
+      sum(col("w") * col("theta")).as("st"),
+      sum(col("w") * col("theta") * col("theta")).as("st2"))
+
+  /** MERGE-ADD one delta batch into the stats table. Exactly-once via the
+    * table's epoch fence; copy-on-write touches only buckets whose groups
+    * appear in the batch. Returns false when fenced or empty.
+    */
+  def applyBatch(table: LakeTable, delta: DataFrame, epochId: Long): Boolean = {
+    val cur = table.current
+    if (epochId >= 0 && cur.epochId >= epochId) return false
+    val b = cur.numBuckets
+    val head = delta.agg(
+      count(lit(1)).as("n"),
+      collect_set(MergeApply.bucketOf(col("group_key"), b)).as("touched")).collect()(0)
+    if (head.getAs[Long]("n") == 0L) return false
+    val touched: Set[Int] = head.getAs[Seq[Int]]("touched").toSet
+
+    val current = table.readConformed(cur, Some(touched))
+      .select(("group_key" +: statCols).map(col): _*)
+    val merged = current.unionByName(delta.select(("group_key" +: statCols).map(col): _*))
+      .groupBy(col("group_key"))
+      .agg(sum(col("k")).as("k"), sum(col("s1")).as("s1"), sum(col("s2")).as("s2"),
+        sum(col("st")).as("st"), sum(col("st2")).as("st2"))
+      .withColumn("_lsn", lit(epochId))
+      .withColumn("_deleted", lit(false))
+      .withColumn("_bucket", MergeApply.bucketOf(col("group_key"), b))
+
+    val files = table.writeDataFiles(
+      merged.repartition(math.max(1, touched.size), col("_bucket")), schemaVer = 1)
+    val newLive = files.map(_.live).sum
+    val oldLive = cur.files.filter(f => touched.contains(f.bucket)).map(_.live).sum
+    table.commit(files, touched, epochId, schemaVer = 1,
+      rowDelta = newLive - oldLive, maxLsnSeen = epochId).applied
+  }
+
+  /** Pooled DerSimonian–Laird columns from the stored state — identical
+    * closed form to the one-shot a9 aggregate, so incremental-over-k-batches
+    * must equal one-shot-over-the-union (IncrementalStatsSpec property;
+    * driver oracle = full recompute in DuckDB).
+    */
+  def derive(state: DataFrame): DataFrame =
+    state.select(col("group_key").as("event_type"), col("k"),
+      round(col("st") / col("s1"), 6).as("pooled"),
+      round(col("st2") - col("st") * col("st") / col("s1"), 6).as("q_stat"),
+      round(greatest(lit(0.0),
+        (col("st2") - col("st") * col("st") / col("s1") - (col("k") - 1)) /
+          (col("s1") - col("s2") / col("s1"))), 6).as("tau2"),
+      round(greatest(lit(0.0),
+        (col("st2") - col("st") * col("st") / col("s1") - (col("k") - 1)) /
+          (col("st2") - col("st") * col("st") / col("s1"))) * 100, 6).as("i2"))
+
+  /** Driver catalog entry: replay the events table as 4 delta batches into
+    * a fresh stats table (addition commutes, so the pmod split needs no
+    * ordering), then derive the pooled view. The DuckDB oracle recomputes
+    * everything in one shot — the strongest equality the incremental path
+    * can be held to.
+    */
+  private val t5 = Q("t5_incremental_stats",
+    (spark, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-stats-").toString + "/stats"
+      val table = createTable(spark, root)
+      val obs = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("group_key"), col("value").as("theta"),
+          (lit(1.0) / (lit(1.0) + col("value") * col("value"))).as("w"),
+          col("event_id"))
+      (0 until 4).foreach { batch =>
+        val applied = applyBatch(table,
+          deltas(obs.filter(pmod(col("event_id"), lit(4)) === batch)), batch.toLong)
+        require(applied, s"stats batch $batch unexpectedly fenced")
+      }
+      derive(table.read()).orderBy("event_type")
+    },
+    Some("""WITH s AS (
+              SELECT event_type, count(*) AS k,
+                     sum(w) AS s1, sum(w*w) AS s2,
+                     sum(w*value) AS st, sum(w*value*value) AS st2
+              FROM (SELECT event_type, value, 1.0/(1.0+value*value) AS w FROM events)
+              GROUP BY event_type)
+            SELECT event_type, k,
+                   round(st/s1, 6) AS pooled,
+                   round(st2 - st*st/s1, 6) AS q_stat,
+                   round(greatest(0.0, (st2 - st*st/s1 - (k-1)) / (s1 - s2/s1)), 6) AS tau2,
+                   round(greatest(0.0, (st2 - st*st/s1 - (k-1)) / (st2 - st*st/s1)) * 100, 6) AS i2
+            FROM s ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(t5)
+}

@@ -60,6 +60,7 @@ object MergeApply {
     val t0 = System.nanoTime()
     val spark = table.spark
     val cur = table.current
+    val keyCols = table.keyCols
 
     // Fence first: replaying an already-committed epoch must cost nothing.
     if (epochId >= 0 && cur.epochId >= epochId)
@@ -74,21 +75,21 @@ object MergeApply {
       count(lit(1)).as("n"),
       max("lsn").as("maxLsn"),
       max("schema_ver").as("maxVer"),
-      collect_set(bucketOf(col("conv_id"), b)).as("touched")).collect()(0)
+      collect_set(bucketOf(col(keyCols.head), b)).as("touched")).collect()(0)
     val inputEvents = head.getAs[Long]("n")
     if (inputEvents == 0L)
       return BatchStats(epochId, applied = false, cur.id, 0L, 0L, 0, cur.schemaVer,
         cur.maxLsn, cur.rows, elapsedMs(t0))
     val batchMaxLsn = head.getAs[Long]("maxLsn")
     val newVer = math.max(cur.schemaVer, head.getAs[Int]("maxVer"))
-    val target = Model.schemaRegistry(newVer)
+    val target = table.registry(newVer)
     val touched: Set[Int] = head.getAs[Seq[Int]]("touched").toSet
 
     // 1. Conform batch events to the (possibly evolved) target schema +
     //    merge cols. Within-batch LSN dedup is NOT a separate shuffle: it is
     //    subsumed by the merge groupBy in step 3 (same max_by-per-key
     //    semantics, one shuffle instead of two).
-    val batchRows = conformEvents(events, target)
+    val batchRows = conformEvents(events, target, keyCols)
 
     // 2. Current rows of touched buckets, viewed as pseudo-events carrying
     //    their stored winning `_lsn` (enables cross-batch LWW).
@@ -102,7 +103,7 @@ object MergeApply {
     val mergeCols = target.fieldNames.toSeq ++ Seq("_lsn", "_deleted")
     val resolved = currentRows.select(mergeCols.map(col): _*)
       .unionByName(batchRows.select(mergeCols.map(col): _*))
-      .groupBy(col("conv_id"), col("turn_idx"))
+      .groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(mergeCols.map(col): _*), col("_lsn")).as("r"))
       .select(col("r.*"))
 
@@ -112,11 +113,11 @@ object MergeApply {
     //    back out by bucket via dynamic partitioning.
     val salt = if (inputEvents / math.max(1, touched.size) < saltRowThreshold) 1
       else math.max(1, saltFactor)
-    val withBucket = resolved.withColumn("_bucket", bucketOf(col("conv_id"), b))
+    val withBucket = resolved.withColumn("_bucket", bucketOf(col(keyCols.head), b))
     val parts = math.max(1, math.min(touched.size * salt,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt))
     val salted = withBucket.repartition(parts, col("_bucket"),
-      pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(salt)))
+      pmod(xxhash64(keyCols.map(col): _*), lit(salt)))
     val files = table.writeDataFiles(salted, newVer)
 
     // 5. Atomic fenced commit. Per-file row/live stats were collected by
@@ -145,14 +146,14 @@ object MergeApply {
     * columns the events don't carry are null-filled; `turn_idx` widens by
     * cast when the target has evolved to long.
     */
-  private def conformEvents(events: DataFrame, target: StructType): DataFrame = {
+  private def conformEvents(events: DataFrame, target: StructType, keyCols: Seq[String]): DataFrame = {
     val have = events.columns.toSet
     val isDelete = col("op") === "D"
     val payload = target.fields.toSeq.map { f =>
       val base =
         if (have.contains(f.name)) col(f.name).cast(f.dataType)
         else lit(null).cast(f.dataType)
-      if (Model.keyCols.contains(f.name)) base.as(f.name)
+      if (keyCols.contains(f.name)) base.as(f.name)
       else when(isDelete, lit(null).cast(f.dataType)).otherwise(base).as(f.name)
     }
     events.select(payload ++ Seq(

@@ -77,7 +77,17 @@ final case class CommitResult(snapshot: Snapshot, applied: Boolean)
   * (true of the engine's design); the epoch fence additionally makes
   * replayed commits no-ops, so crash-restart is safe.
   */
-final class LakeTable(val spark: SparkSession, val root: String) {
+/** @param registry versioned schema registry of the table's PUBLIC schema
+  *                  (defaults to the transcript registry — the engine's
+  *                  primary table; stats/history tables pass their own)
+  * @param keyCols   merge key; `keyCols.head` drives hash-bucketing, the
+  *                  full key drives within-file sort order
+  */
+final class LakeTable(
+    val spark: SparkSession,
+    val root: String,
+    val registry: Map[Int, StructType] = Model.schemaRegistry,
+    val keyCols: Seq[String] = Model.keyCols) {
   import LakeTable._
 
   private val rootPath = new Path(root)
@@ -111,7 +121,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
 
   /** Physical parquet schema of files written at `ver` (public + internal). */
   def physicalSchema(ver: Int): StructType =
-    StructType(Model.schemaRegistry(ver).fields ++ internalCols)
+    StructType(registry(ver).fields ++ internalCols)
 
   // ---- read path ----
 
@@ -120,7 +130,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val snap = current
     readConformed(snap, None)
       .filter(!col("_deleted"))
-      .select(Model.schemaRegistry(snap.schemaVer).fieldNames.map(col).toSeq: _*)
+      .select(registry(snap.schemaVer).fieldNames.map(col).toSeq: _*)
   }
 
   /** Internal read (merge path): rows incl. tombstones + `_lsn`/`_deleted`,
@@ -200,7 +210,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   def writeDataFiles(df: DataFrame, schemaVer: Int): Seq[FileEntry] = {
     val dir = new Path(new Path(rootPath, "data"),
       s"c${System.currentTimeMillis()}-${java.util.UUID.randomUUID.toString.take(8)}")
-    df.sortWithinPartitions("_bucket", "conv_id", "turn_idx")
+    df.sortWithinPartitions("_bucket", keyCols: _*)
       .write.partitionBy("_bucket").mode("overwrite").parquet(dir.toString)
     val entries = listDataFiles(dir.toString, schemaVer)
     if (entries.isEmpty) return entries
@@ -259,7 +269,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val fat = byBucket.filter(_._2.size > maxFilesPerBucket).keySet
     if (fat.isEmpty) return CommitResult(cur, applied = false)
     var df = readConformed(cur, Some(fat))
-      .withColumn("_bucket", pmod(xxhash64(col("conv_id")), lit(cur.numBuckets)).cast(IntegerType))
+      .withColumn("_bucket", pmod(xxhash64(col(keyCols.head)), lit(cur.numBuckets)).cast(IntegerType))
     if (dropTombstonesBelowLsn >= 0)
       df = df.filter(!col("_deleted") || col("_lsn") >= dropTombstonesBelowLsn)
     val files = writeDataFiles(df.repartition(math.max(1, fat.size), col("_bucket")), cur.schemaVer)
@@ -298,19 +308,26 @@ object LakeTable {
     StructField("_deleted", BooleanType, nullable = false))
 
   /** Create an empty table at `root` with an initial schema version. */
-  def create(spark: SparkSession, root: String, schemaVer: Int, numBuckets: Int): LakeTable = {
+  def create(
+      spark: SparkSession, root: String, schemaVer: Int, numBuckets: Int,
+      registry: Map[Int, StructType] = Model.schemaRegistry,
+      keyCols: Seq[String] = Model.keyCols): LakeTable = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = new Path(rootPath, "_meta")
     fs.mkdirs(metaDir)
     val snap = Snapshot(0L, -1L, -1L, schemaVer, numBuckets, 0L, -1L, Nil)
-    val t = new LakeTable(spark, root)
+    val t = new LakeTable(spark, root, registry, keyCols)
     writeManifest(fs, new Path(metaDir, f"snap-${0L}%010d.json"), snap)
     writeString(fs, new Path(metaDir, "_current"), f"snap-${0L}%010d.json")
     t
   }
 
-  def load(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)
+  def load(
+      spark: SparkSession, root: String,
+      registry: Map[Int, StructType] = Model.schemaRegistry,
+      keyCols: Seq[String] = Model.keyCols): LakeTable =
+    new LakeTable(spark, root, registry, keyCols)
 
   def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root, "_meta/_current")

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.IncrementalStats
+
+/** T5 invariants: MERGE-ADDed sufficient statistics over any batch split
+  * equal the one-shot aggregate over the union (the reference's
+  * reconciliation rule restated for the incremental path), and the epoch
+  * fence makes replayed stat batches no-ops (no double counting — the
+  * failure mode incremental aggregation exists to prevent).
+  */
+class IncrementalStatsSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local(4, appName = "stats-spec")
+
+  private def obs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val g = s"g${i % 7}"
+      val theta = math.sin(i * 0.37) * 3.0
+      (g, theta, 1.0 / (1.0 + theta * theta), i.toLong)
+    }.toDF("group_key", "theta", "w", "id")
+  }
+
+  private def stateOf(table: graft.lake.LakeTable): Map[String, (Long, Double, Double)] =
+    table.read().collect()
+      .map(r => r.getAs[String]("group_key") ->
+        ((r.getAs[Long]("k"), r.getAs[Double]("s1"), r.getAs[Double]("st")))).toMap
+
+  test("incremental over k batches equals one-shot over the union") {
+    val data = obs(5000)
+    val oneShot = IncrementalStats.deltas(data).collect()
+      .map(r => r.getAs[String]("group_key") ->
+        ((r.getAs[Long]("k"), r.getAs[Double]("s1"), r.getAs[Double]("st")))).toMap
+    // three different batch splits, all must converge to the same state
+    Seq(2, 5, 9).foreach { nBatches =>
+      val root = Files.createTempDirectory("graft-stats-spec-").toString
+      val table = IncrementalStats.createTable(spark, root, numBuckets = 4)
+      (0 until nBatches).foreach { b =>
+        IncrementalStats.applyBatch(table,
+          IncrementalStats.deltas(data.filter(pmod(col("id"), lit(nBatches)) === b)), b.toLong)
+      }
+      val inc = stateOf(table)
+      assert(inc.keySet == oneShot.keySet)
+      inc.foreach { case (g, (k, s1, st)) =>
+        val (k0, s10, st0) = oneShot(g)
+        assert(k == k0, s"$g count")
+        assert(math.abs(s1 - s10) < 1e-9, s"$g s1")
+        assert(math.abs(st - st0) < 1e-9, s"$g st")
+      }
+    }
+  }
+
+  test("epoch fence: replaying a stat batch does not double-count") {
+    val data = obs(1000)
+    val root = Files.createTempDirectory("graft-stats-fence-").toString
+    val table = IncrementalStats.createTable(spark, root, numBuckets = 4)
+    val d0 = IncrementalStats.deltas(data.filter(col("id") < 500))
+    val d1 = IncrementalStats.deltas(data.filter(col("id") >= 500))
+    assert(IncrementalStats.applyBatch(table, d0, 0L))
+    assert(IncrementalStats.applyBatch(table, d1, 1L))
+    val after = stateOf(table)
+    assert(!IncrementalStats.applyBatch(table, d1, 1L)) // replay fenced
+    assert(!IncrementalStats.applyBatch(table, d0, 0L)) // stale fenced
+    assert(stateOf(table) == after)
+    val total = after.values.map(_._1).sum
+    assert(total == 1000L)
+  }
+
+  test("derived pooled view matches direct computation") {
+    val data = obs(2000)
+    val root = Files.createTempDirectory("graft-stats-derive-").toString
+    val table = IncrementalStats.createTable(spark, root, numBuckets = 4)
+    IncrementalStats.applyBatch(table, IncrementalStats.deltas(data), 0L)
+    val derived = IncrementalStats.derive(table.read())
+    val direct = IncrementalStats.derive(
+      IncrementalStats.deltas(data).withColumnRenamed("group", "group_key"))
+    assert(derived.orderBy("event_type").collect().toSeq ==
+      direct.orderBy("event_type").collect().toSeq)
+  }
+}
