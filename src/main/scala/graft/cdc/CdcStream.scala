@@ -33,7 +33,8 @@ object CdcStream {
       maxFilesPerTrigger: Int = 4,
       saltFactor: Int = 4,
       availableNow: Boolean = true,
-      triggerMs: Long = 500L)
+      triggerMs: Long = 500L,
+      mode: MergeMode = MergeMode.Upsert)
 
   def start(
       spark: SparkSession,
@@ -48,7 +49,8 @@ object CdcStream {
     val writer = events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val stats = MergeApply.applyBatch(table, batch, epochId, cfg.saltFactor)
+        val stats = MergeApply.applyBatch(table, batch, epochId, cfg.saltFactor,
+          mode = cfg.mode)
         if (stats.applied) {
           emitMetrics(spark, table.root, stats)
           emitLineage(spark, table.root, stats,

@@ -7,6 +7,24 @@ import org.apache.spark.sql.types._
 import graft.lake.{CommitResult, LakeTable}
 import graft.model.Model
 
+/** M4 ▸ merge modes (reference: sp_merge_staging_to_production declares
+  * @merge_type UPSERT | INSERT_ONLY | UPDATE_ONLY,
+  * Scripts/ETL_Framework_Implementation.sql:336-399). Within-batch LSN
+  * dedup applies in every mode; the mode then gates which deduped events
+  * may touch the table:
+  *   - [[MergeMode.Upsert]]      matched → update/delete, unmatched → insert
+  *   - [[MergeMode.InsertOnly]]  only keys with no LIVE current row are
+  *                               inserted; deletes are dropped (no matched arm)
+  *   - [[MergeMode.UpdateOnly]]  only keys with a LIVE current row are
+  *                               updated/deleted (no unmatched arm)
+  */
+sealed trait MergeMode
+object MergeMode {
+  case object Upsert extends MergeMode
+  case object InsertOnly extends MergeMode
+  case object UpdateOnly extends MergeMode
+}
+
 /** Per-micro-batch outcome, used for metrics + lineage emission. */
 final case class BatchStats(
     epochId: Long,
@@ -56,7 +74,8 @@ object MergeApply {
       events: DataFrame,
       epochId: Long,
       saltFactor: Int = 4,
-      saltRowThreshold: Long = 50000L): BatchStats = {
+      saltRowThreshold: Long = 50000L,
+      mode: MergeMode = MergeMode.Upsert): BatchStats = {
     val t0 = System.nanoTime()
     val spark = table.spark
     val cur = table.current
@@ -97,12 +116,24 @@ object MergeApply {
       table.readConformed(cur, Some(touched)),
       table.physicalSchema(cur.schemaVer), StructType(target.fields ++ LakeTable.internalCols))
 
+    // 2b. Merge-mode gate: restrict which batch keys may touch the table.
+    //     "Matched" means a LIVE current row exists for the key (a
+    //     tombstone counts as NOT matched, same as SQL MERGE after DELETE).
+    val liveKeys = currentRows.filter(!col("_deleted")).select(keyCols.map(col): _*)
+    val gatedBatch = mode match {
+      case MergeMode.Upsert => batchRows
+      case MergeMode.InsertOnly =>
+        batchRows.filter(!col("_deleted")).join(liveKeys, keyCols, "left_anti")
+      case MergeMode.UpdateOnly =>
+        batchRows.join(liveKeys, keyCols, "left_semi")
+    }
+
     // 3. Resolve: union current + incoming, keep max-LSN row per key.
     //    (Duplicate re-emissions share an LSN and identical payload, so
     //    max_by ties are safe.)
     val mergeCols = target.fieldNames.toSeq ++ Seq("_lsn", "_deleted")
     val resolved = currentRows.select(mergeCols.map(col): _*)
-      .unionByName(batchRows.select(mergeCols.map(col): _*))
+      .unionByName(gatedBatch.select(mergeCols.map(col): _*))
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(mergeCols.map(col): _*), col("_lsn")).as("r"))
       .select(col("r.*"))

@@ -142,6 +142,46 @@ class MergeApplySpec extends AnyFunSuite {
     assert(rows == Seq(("a", 1L, "one"), ("b", 2L, "two"), ("c", 3L, "three")))
   }
 
+  test("merge modes: insert-only / update-only gate the matched arm (M4)") {
+    import spark.implicits._
+    import graft.cdc.MergeMode
+    val ts = new java.sql.Timestamp(1704067200000L)
+    def ev(lsn: Long, op: String, conv: String, turn: Int, text: String) =
+      Model.ChangeEvent(lsn, op, 2, conv, turn,
+        if (op == "D") None else Some("user"),
+        if (op == "D") None else Some(text), None,
+        if (op == "D") None else Some(ts))
+    def mk(): LakeTable = {
+      val t = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 4)
+      MergeApply.applyBatch(t, spark.createDataset(Seq(
+        ev(1, "I", "a", 1, "a1-v1"), ev(2, "I", "b", 1, "b1-v1"))).toDF(), 0)
+      t
+    }
+    def state(t: LakeTable) = t.read().orderBy("conv_id", "turn_idx")
+      .select($"conv_id", $"turn_idx", $"text").as[(String, Int, String)].collect().toSeq
+
+    // UPSERT (control): update applies, new key inserts, delete applies
+    val up = mk()
+    MergeApply.applyBatch(up, spark.createDataset(Seq(
+      ev(10, "U", "a", 1, "a1-v2"), ev(11, "I", "c", 1, "c1-v1"), ev(12, "D", "b", 1, ""))).toDF(),
+      1, mode = MergeMode.Upsert)
+    assert(state(up) == Seq(("a", 1, "a1-v2"), ("c", 1, "c1-v1")))
+
+    // INSERT_ONLY: matched key untouched, new key inserts, delete dropped
+    val ins = mk()
+    MergeApply.applyBatch(ins, spark.createDataset(Seq(
+      ev(10, "U", "a", 1, "a1-v2"), ev(11, "I", "c", 1, "c1-v1"), ev(12, "D", "b", 1, ""))).toDF(),
+      1, mode = MergeMode.InsertOnly)
+    assert(state(ins) == Seq(("a", 1, "a1-v1"), ("b", 1, "b1-v1"), ("c", 1, "c1-v1")))
+
+    // UPDATE_ONLY: matched key updates + matched delete applies, new key dropped
+    val upd = mk()
+    MergeApply.applyBatch(upd, spark.createDataset(Seq(
+      ev(10, "U", "a", 1, "a1-v2"), ev(11, "I", "c", 1, "c1-v1"), ev(12, "D", "b", 1, ""))).toDF(),
+      1, mode = MergeMode.UpdateOnly)
+    assert(state(upd) == Seq(("a", 1, "a1-v2")))
+  }
+
   test("deterministic across parallelism: local generator slice equality") {
     val cfg = GenConfig(numEvents = 1000)
     val a = (0L until cfg.totalRows).map(i => ChangeGen.rowAt(cfg, i))

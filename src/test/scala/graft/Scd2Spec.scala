@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.Scd2History
+import graft.cdc.Scd2History.Scd2Config
+
+/** M7 write-path invariants (reference:
+  * Docs/etl_requirements_reviewed_by_sr.md:518-558): after replaying
+  * ordered change batches, every key has exactly ONE active row, version
+  * ranges are contiguous (each close equals the next open), and the active
+  * payload equals the last change per key.
+  */
+class Scd2Spec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local(4, appName = "scd2-spec")
+
+  private def changes(n: Int) = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      (s"k${i % 13}", s"state-${i % 5}", i * 1.5, i.toLong)
+    }.toDF("user_id", "event_type", "value", "event_id")
+  }
+
+  test("replay: one active row per key, contiguous ranges, LWW payload") {
+    val df = changes(400)
+    val cfg = Scd2Config(Seq("user_id"), Seq("event_type", "value"), "event_id")
+    val root = Files.createTempDirectory("graft-scd2-spec-").toString
+    val table = Scd2History.createTable(spark, root, cfg, df.schema, numBuckets = 4)
+    // 5 ordered batches of 80 changes
+    (0 until 5).foreach { b =>
+      val batch = df.filter(col("event_id") > b * 80 && col("event_id") <= (b + 1) * 80)
+      assert(Scd2History.applyBatch(table, cfg, batch, b.toLong))
+    }
+    val hist = table.read().collect()
+    assert(hist.length == 400) // every change is a version
+
+    val byKey = hist.groupBy(_.getAs[String]("user_id"))
+    byKey.foreach { case (k, rows) =>
+      val active = rows.filter(_.getAs[Boolean]("is_active"))
+      assert(active.length == 1, s"$k has ${active.length} active rows")
+      // active row is the max-ord change, open-ended
+      val maxFrom = rows.map(_.getAs[Long]("effective_from")).max
+      assert(active(0).getAs[Long]("effective_from") == maxFrom)
+      assert(active(0).isNullAt(active(0).fieldIndex("effective_to")))
+      // contiguity: sorted versions chain from -> to -> from
+      val sorted = rows.sortBy(_.getAs[Long]("effective_from"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("effective_to") == b.getAs[Long]("effective_from"),
+            s"$k range gap at ${a.getAs[Long]("effective_from")}")
+        case _ =>
+      }
+    }
+    // replaying the last batch is fenced — history unchanged
+    val last = df.filter(col("event_id") > 320)
+    assert(!Scd2History.applyBatch(table, cfg, last, 4L))
+    assert(table.read().count() == 400)
+  }
+}
