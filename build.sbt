@@ -26,12 +26,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[N] = single JVM: the heap IS the cluster memory. Size for the
-  // 128 GiB sandbox host; override with SPARK_DRIVER_MEM. Pre-touching a
-  // fixed initial heap matters on this virtualized host: lazily faulting
-  // heap pages across 32 task threads contends in the kernel (measured
-  // 3.5× slowdown on the merge stage without it).
+  // local[N] = single JVM: the heap IS the cluster memory. -Xmx is lazily
+  // committed, so a large ceiling costs nothing until used; override with
+  // SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Seq())
+// Bench/run JVMs pre-touch a large fixed initial heap: lazily faulting heap
+// pages across 32 task threads contends in the kernel on this virtualized
+// host (measured 3.5x merge-stage slowdown without it). Tests keep a small
+// -Xms so suites start fast and run on modest hosts.
+run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "16g")}",
   "-XX:+AlwaysPreTouch",
-) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Seq())
+)
+Test / javaOptions += "-Xms512m"

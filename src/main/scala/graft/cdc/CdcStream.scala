@@ -36,12 +36,23 @@ object CdcStream {
       triggerMs: Long = 500L,
       mode: MergeMode = MergeMode.Upsert)
 
+  /** Stream identity for epoch fencing: stable across restarts of the SAME
+    * checkpoint (epochIds are scoped to a checkpoint), different for a
+    * fresh checkpoint — the (txnAppId, version)-style pair Delta uses.
+    */
+  def writerIdOf(checkpointDir: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "w-" + d.take(6).map(b => f"$b%02x").mkString
+  }
+
   def start(
       spark: SparkSession,
       table: LakeTable,
       eventsDir: String,
       checkpointDir: String,
       cfg: StreamConfig = StreamConfig()): StreamingQuery = {
+    val wid = writerIdOf(checkpointDir)
     val events = spark.readStream
       .schema(Model.changeEventSchema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
@@ -50,11 +61,26 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val stats = MergeApply.applyBatch(table, batch, epochId, cfg.saltFactor,
-          mode = cfg.mode)
+          mode = cfg.mode, writerId = wid)
         if (stats.applied) {
           emitMetrics(spark, table.root, stats)
           emitLineage(spark, table.root, stats,
             sourceFilesOf(spark, checkpointDir, epochId))
+        } else {
+          // Crash-window replay: the epoch's commit already applied but the
+          // metrics/lineage writes may have been lost with the crash. The
+          // commit stats live in the manifest, so the rows are re-derived
+          // and re-written — combined with overwrite-by-epoch emission this
+          // makes observability exactly-once, not at-most-once.
+          val cur = table.current
+          if (cur.epochId == epochId && cur.writerId == wid && cur.inputEvents >= 0) {
+            val replayStats = BatchStats(epochId, applied = true, cur.id,
+              cur.inputEvents, cur.dedupedKeys, 0, cur.schemaVer, cur.maxLsn,
+              cur.rows, cur.mergeMs)
+            emitMetrics(spark, table.root, replayStats)
+            emitLineage(spark, table.root, replayStats,
+              sourceFilesOf(spark, checkpointDir, epochId))
+          }
         }
         ()
       }
@@ -104,14 +130,18 @@ object CdcStream {
     } catch { case _: Exception => Nil }
   }
 
+  /** One metrics row per applied epoch, written OVERWRITE into a per-epoch
+    * directory — re-emission after a crash replaces rather than duplicates.
+    */
   private def emitMetrics(spark: SparkSession, root: String, s: BatchStats): Unit = {
     import spark.implicits._
     val eps = if (s.durationMs > 0) s.inputEvents * 1000.0 / s.durationMs else 0.0
     Seq((s.epochId, s.snapshotId, s.inputEvents, s.dedupedKeys, s.touchedBuckets,
-      s.schemaVer, s.maxLsn, s.liveRows, s.durationMs, eps))
+      s.schemaVer, s.maxLsn, s.liveRows, s.durationMs, eps, s.observedRows, s.observedLive))
       .toDF("epoch_id", "snapshot_id", "input_events", "deduped_keys", "touched_buckets",
-        "schema_ver", "max_lsn", "live_rows", "duration_ms", "events_per_sec")
-      .coalesce(1).write.mode("append").parquet(s"$root/_metrics")
+        "schema_ver", "max_lsn", "live_rows", "duration_ms", "events_per_sec",
+        "observed_rows", "observed_live")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_metrics/e${s.epochId}")
   }
 
   private def emitLineage(spark: SparkSession, root: String, s: BatchStats,
@@ -120,14 +150,14 @@ object CdcStream {
     val rows = if (sourceFiles.isEmpty) Seq(("<none>", s.epochId, s.snapshotId))
       else sourceFiles.map(f => (f, s.epochId, s.snapshotId))
     rows.toDF("source_file", "epoch_id", "snapshot_id")
-      .coalesce(1).write.mode("append").parquet(s"$root/_lineage")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_lineage/e${s.epochId}")
   }
 
   /** Read back the metrics table (per-batch observability surface). */
   def metrics(spark: SparkSession, tableRoot: String): DataFrame =
-    spark.read.parquet(s"$tableRoot/_metrics")
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$tableRoot/_metrics")
 
   /** Read back the lineage table: source file → epoch → snapshot. */
   def lineage(spark: SparkSession, tableRoot: String): DataFrame =
-    spark.read.parquet(s"$tableRoot/_lineage")
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$tableRoot/_lineage")
 }

@@ -36,7 +36,9 @@ final case class BatchStats(
     schemaVer: Int,
     maxLsn: Long,
     liveRows: Long,
-    durationMs: Long)
+    durationMs: Long,
+    observedRows: Long = -1L,
+    observedLive: Long = -1L)
 
 /** The engine core: apply one micro-batch of change events to a LakeTable
   * as a key-partitioned MERGE upsert.
@@ -75,14 +77,17 @@ object MergeApply {
       epochId: Long,
       saltFactor: Int = 4,
       saltRowThreshold: Long = 50000L,
-      mode: MergeMode = MergeMode.Upsert): BatchStats = {
+      mode: MergeMode = MergeMode.Upsert,
+      writerId: String = ""): BatchStats = {
     val t0 = System.nanoTime()
     val spark = table.spark
     val cur = table.current
     val keyCols = table.keyCols
 
-    // Fence first: replaying an already-committed epoch must cost nothing.
-    if (epochId >= 0 && cur.epochId >= epochId)
+    // Fence first (scoped per writer identity): replaying an epoch this
+    // writer already committed must cost nothing. A DIFFERENT writer's
+    // epoch numbering is unrelated — it applies (LWW makes that safe).
+    if (table.fenced(cur, epochId, writerId))
       return BatchStats(epochId, applied = false, cur.id, 0L, 0L, 0, cur.schemaVer,
         cur.maxLsn, cur.rows, elapsedMs(t0))
 
@@ -147,9 +152,22 @@ object MergeApply {
     val withBucket = resolved.withColumn("_bucket", bucketOf(col(keyCols.head), b))
     val parts = math.max(1, math.min(touched.size * salt,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt))
-    val salted = withBucket.repartition(parts, col("_bucket"),
-      pmod(xxhash64(keyCols.map(col): _*), lit(salt)))
+    // A8 ▸ observed metrics RIDE THE MERGE PLAN (Dataset.observe →
+    // CollectMetrics → QueryExecutionListener via the Observation helper):
+    // resolved-row and live-row counts are collected by the same pass that
+    // writes the data files, not by a separate aggregation job (reference
+    // analog: *_stats accumulator dicts,
+    // Scripts/python/enhanced_main_etl.py:304-309).
+    val obs = org.apache.spark.sql.Observation(s"merge-e$epochId-${System.nanoTime()}")
+    val salted = withBucket
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
+      .repartition(parts, col("_bucket"),
+        pmod(xxhash64(keyCols.map(col): _*), lit(salt)))
     val files = table.writeDataFiles(salted, newVer)
+    val observed = obs.get
+    val obsRows = observed.get("rows").collect { case x: Long => x }.getOrElse(-1L)
+    val obsLive = Option(observed.getOrElse("live", null)).collect { case x: Long => x }.getOrElse(0L)
 
     // 5. Atomic fenced commit. Per-file row/live stats were collected by
     //    writeDataFiles in one pass; the old-live side comes from the
@@ -162,9 +180,12 @@ object MergeApply {
       else table.readConformed(cur, Some(touched)).filter(!col("_deleted")).count()
 
     val res: CommitResult = table.commit(files, touched, epochId, newVer,
-      rowDelta = newLive - oldLive, maxLsnSeen = batchMaxLsn)
+      rowDelta = newLive - oldLive, maxLsnSeen = batchMaxLsn,
+      writerId = writerId, inputEvents = inputEvents, dedupedKeys = newKeys,
+      mergeMs = elapsedMs(t0))
     BatchStats(epochId, res.applied, res.snapshot.id, inputEvents, newKeys,
-      touched.size, newVer, res.snapshot.maxLsn, res.snapshot.rows, elapsedMs(t0))
+      touched.size, newVer, res.snapshot.maxLsn, res.snapshot.rows, elapsedMs(t0),
+      observedRows = obsRows, observedLive = obsLive)
   }
 
   /** Hidden-partitioning bucket expression (Iceberg-style bucket transform). */

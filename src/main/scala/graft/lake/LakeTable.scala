@@ -32,6 +32,17 @@ final case class FileEntry(path: String, bucket: Int, schemaVer: Int, rows: Long
   * loads (reference: Scripts/database_schema.sql:211,
   * Docs/etl_requirements_reviewed_by_sr.md:162-165).
   */
+/** @param writerId identity of the stream that committed `epochId` —
+  *                  epoch fencing is scoped PER WRITER, so a stream
+  *                  restarted with a fresh checkpoint (epochIds restart at
+  *                  0) re-applies instead of being silently fenced (the
+  *                  merge is row-level idempotent under LWW, so re-apply is
+  *                  safe; silent fencing would be data loss)
+  * @param inputEvents / dedupedKeys / mergeMs — the committing batch's
+  *                  stats, persisted IN the manifest so per-epoch metrics
+  *                  can be re-derived idempotently after a crash between
+  *                  commit and metrics write (exactly-once observability)
+  */
 final case class Snapshot(
     id: Long,
     parent: Long,
@@ -40,7 +51,11 @@ final case class Snapshot(
     numBuckets: Int,
     rows: Long,
     maxLsn: Long,
-    files: Seq[FileEntry])
+    files: Seq[FileEntry],
+    writerId: String = "",
+    inputEvents: Long = -1L,
+    dedupedKeys: Long = -1L,
+    mergeMs: Long = -1L)
 
 /** Result of a commit attempt: either applied (new snapshot) or fenced
   * (this epoch was already committed — idempotent replay no-op).
@@ -170,9 +185,13 @@ final class LakeTable(
       epochId: Long,
       schemaVer: Int,
       rowDelta: Long,
-      maxLsnSeen: Long): CommitResult = synchronized {
+      maxLsnSeen: Long,
+      writerId: String = "",
+      inputEvents: Long = -1L,
+      dedupedKeys: Long = -1L,
+      mergeMs: Long = -1L): CommitResult = synchronized {
     val cur = current
-    if (epochId >= 0 && cur.epochId >= epochId) return CommitResult(cur, applied = false)
+    if (fenced(cur, epochId, writerId)) return CommitResult(cur, applied = false)
     val kept = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
     val snap = Snapshot(
       id = cur.id + 1,
@@ -182,11 +201,23 @@ final class LakeTable(
       numBuckets = cur.numBuckets,
       rows = cur.rows + rowDelta,
       maxLsn = math.max(maxLsnSeen, cur.maxLsn),
-      files = kept ++ newFiles)
+      files = kept ++ newFiles,
+      writerId = if (epochId >= 0) writerId else cur.writerId,
+      inputEvents = inputEvents,
+      dedupedKeys = dedupedKeys,
+      mergeMs = mergeMs)
     writeManifest(fs, snapPath(snap.id), snap)
     swapCurrent(snap.id)
     CommitResult(snap, applied = true)
   }
+
+  /** Epoch fence, scoped per writer identity: a commit is a replay no-op
+    * only when the SAME writer already committed this epoch or a later one.
+    * A different writer (fresh checkpoint — its epochIds restart at 0)
+    * legitimately re-applies; the LWW merge makes that row-level idempotent.
+    */
+  def fenced(cur: Snapshot, epochId: Long, writerId: String): Boolean =
+    epochId >= 0 && cur.writerId == writerId && cur.epochId >= epochId
 
   private def swapCurrent(id: Long): Unit = {
     val tmp = new Path(metaDir, s"._current.tmp-$id")
@@ -360,7 +391,9 @@ object LakeTable {
         s""""rows":${f.rows},"live":${f.live}}""")
       .mkString("[", ",", "]")
     s"""{"id":${s.id},"parent":${s.parent},"epochId":${s.epochId},"schemaVer":${s.schemaVer},""" +
-      s""""numBuckets":${s.numBuckets},"rows":${s.rows},"maxLsn":${s.maxLsn},"files":$files}"""
+      s""""numBuckets":${s.numBuckets},"rows":${s.rows},"maxLsn":${s.maxLsn},""" +
+      s""""writer":"${esc(s.writerId)}","inputEvents":${s.inputEvents},""" +
+      s""""dedupedKeys":${s.dedupedKeys},"mergeMs":${s.mergeMs},"files":$files}"""
   }
 
   private[lake] def parseManifest(json: String): Snapshot = {
@@ -373,9 +406,13 @@ object LakeTable {
         f.get("schemaVer").asInt(), f.get("rows").asLong(),
         if (f.has("live")) f.get("live").asLong() else -1L)
     }
+    def optLong(k: String): Long = if (n.has(k)) n.get(k).asLong() else -1L
     Snapshot(n.get("id").asLong(), n.get("parent").asLong(), n.get("epochId").asLong(),
       n.get("schemaVer").asInt(), n.get("numBuckets").asInt(), n.get("rows").asLong(),
-      n.get("maxLsn").asLong(), files)
+      n.get("maxLsn").asLong(), files,
+      writerId = if (n.has("writer")) n.get("writer").asText() else "",
+      inputEvents = optLong("inputEvents"), dedupedKeys = optLong("dedupedKeys"),
+      mergeMs = optLong("mergeMs"))
   }
 
   private def writeManifest(fs: FileSystem, p: Path, s: Snapshot): Unit =

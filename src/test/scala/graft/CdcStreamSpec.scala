@@ -94,10 +94,67 @@ class CdcStreamSpec extends AnyFunSuite {
     val lastEpoch = table.current.epochId
     val before = stateOf(table)
     // simulate the crash-window replay: foreachBatch re-delivers the last
-    // micro-batch with the same epochId
+    // micro-batch with the same epochId AND the same writer identity (a
+    // replay from the same checkpoint carries the same writerId)
     val replayed = ChangeGen.events(spark, cfg).toDF()
-    val st = MergeApply.applyBatch(table, replayed, lastEpoch)
+    val st = MergeApply.applyBatch(table, replayed, lastEpoch,
+      writerId = CdcStream.writerIdOf(s"$base/cp"))
     assert(!st.applied)
     assert(stateOf(table) == before)
+  }
+
+  test("fresh checkpoint: epochs restart at 0 but commits APPLY (no silent fencing)") {
+    val base = tmp()
+    val cfg = GenConfig(numConvs = 15, maxTurns = 8, numEvents = 800)
+    writeEventFiles(cfg, s"$base/events", nFiles = 2)
+    val table = LakeTable.create(spark, s"$base/table", schemaVer = 1, numBuckets = 4)
+    CdcStream.runAvailable(spark, table, s"$base/events", s"$base/cp1")
+    val snapAfter = table.current.id
+    val state = stateOf(table)
+    // operator restarts the stream with a NEW checkpoint dir: epochIds
+    // restart at 0. Per-writer fencing means these commits re-apply (the
+    // merge is row-level idempotent) instead of being silently dropped.
+    CdcStream.runAvailable(spark, table, s"$base/events", s"$base/cp2")
+    assert(table.current.id > snapAfter, "fresh-checkpoint commits were silently fenced")
+    assert(stateOf(table) == state)
+    assert(stateOf(table) == oracleOf(cfg))
+  }
+
+  test("crash window: lost metrics re-emitted from manifest on replay, no duplicates") {
+    val base = tmp()
+    val cfg = GenConfig(numConvs = 15, maxTurns = 8, numEvents = 1000)
+    writeEventFiles(cfg, s"$base/events", nFiles = 4)
+    val table = LakeTable.create(spark, s"$base/table", schemaVer = 1, numBuckets = 4)
+    CdcStream.runAvailable(spark, table, s"$base/events", s"$base/cp",
+      StreamConfig(maxFilesPerTrigger = 2))
+    val lastEpoch = table.current.epochId
+    val nMetrics = CdcStream.metrics(spark, table.root).count()
+    val state = stateOf(table)
+    // simulate the crash between snapshot commit and checkpoint advance,
+    // with the metrics write lost: drop the last commit marker (stream will
+    // replay the epoch) and the epoch's metrics directory
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$base/cp/commits/$lastEpoch"), false))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"${table.root}/_metrics/e$lastEpoch"), true))
+    CdcStream.runAvailable(spark, table, s"$base/events", s"$base/cp",
+      StreamConfig(maxFilesPerTrigger = 2))
+    // commit was fenced (no double apply), but the metrics row came back
+    assert(stateOf(table) == state)
+    val m = CdcStream.metrics(spark, table.root)
+    assert(m.count() == nMetrics, "metrics duplicated or lost after crash replay")
+    val replayRow = m.filter(org.apache.spark.sql.functions.col("epoch_id") === lastEpoch).collect()
+    assert(replayRow.length == 1)
+    assert(replayRow(0).getAs[Long]("input_events") > 0)
+  }
+
+  test("A8 observe: merge metrics ride the write plan and match file stats") {
+    val base = tmp()
+    val cfg = GenConfig(numConvs = 20, maxTurns = 10, numEvents = 1200)
+    val table = LakeTable.create(spark, s"$base/table", schemaVer = 2, numBuckets = 4)
+    val st = MergeApply.applyBatch(table, ChangeGen.events(spark, cfg).toDF(), 0L)
+    assert(st.applied)
+    assert(st.observedRows == st.dedupedKeys,
+      s"observed ${st.observedRows} != file-stat ${st.dedupedKeys}")
+    assert(st.observedLive == table.read().count())
   }
 }
