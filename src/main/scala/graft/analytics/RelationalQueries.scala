@@ -637,6 +637,107 @@ object RelationalQueries {
             coalesce(nullif(l_returnflag, 'N'), l_linestatus) AS flag_or_status
             FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
-  val all: Seq[Q] = Seq(m1, t3, j5, m7, c8, q1, a1, a2, a3, a4, a6, a7, a9,
-    j1, j2, j4, j6, j8, p1, p4, p6, p8, p9, c1, c2, s5, w1, w2, w4)
+  /** A9+Φ ▸ pooled z-score and two-sided p-value via the normal-CDF
+    * expression (reference: z/p columns of the pooled meta-analysis view,
+    * Docs/etl_requirements_reviewed_by_sr.md:616). Fixed-effect
+    * SE = sqrt(1/Σw); the identical Abramowitz–Stegun Φ runs in DuckDB.
+    */
+  private val a9p = Q("a9_pvalues",
+    (spark, dir) => {
+      import graft.functions.StatFunctions
+      val e = t(spark, dir, "events")
+        .withColumn("w", lit(1.0) / (lit(1.0) + col("value") * col("value")))
+      val s = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("k"), sum(col("w")).as("s1"),
+          sum(col("w") * col("value")).as("st"))
+      val z = (col("st") / col("s1")) / sqrt(lit(1.0) / col("s1"))
+      s.select(col("event_type"), col("k"),
+        round(col("st") / col("s1"), 6).as("pooled"),
+        round(sqrt(lit(1.0) / col("s1")), 6).as("se"),
+        round(z, 6).as("z"),
+        round(StatFunctions.pValue(z), 6).as("p_two_sided"))
+        .orderBy("event_type")
+    },
+    Some {
+      val z = "((st/s1) / sqrt(1.0/s1))"
+      s"""WITH s AS (
+            SELECT event_type, count(*) AS k, sum(w) AS s1, sum(w*value) AS st
+            FROM (SELECT event_type, value, 1.0/(1.0+value*value) AS w FROM events)
+            GROUP BY event_type)
+          SELECT event_type, k,
+                 round(st/s1, 6) AS pooled,
+                 round(sqrt(1.0/s1), 6) AS se,
+                 round($z, 6) AS z,
+                 round(${graft.functions.StatFunctions.pValueSql(z)}, 6) AS p_two_sided
+          FROM s ORDER BY event_type"""
+    })
+
+  /** P5 ▸ label normalization + int-or-passthrough key parse (reference:
+    * _normalize_label / _parse_key,
+    * Scripts/python/enhanced_main_etl.py:124-132): a mixed column parses
+    * to its integer form when it is one, else upper-trimmed passthrough.
+    */
+  private val p5 = Q("p5_label_parse",
+    (spark, dir) => {
+      t(spark, dir, "events")
+        .withColumn("mixed", when(pmod(col("event_id"), lit(3)) === 0,
+          concat(lit(" "), col("event_id").cast("string"), lit(" ")))
+          .otherwise(concat(lit(" "), col("event_type"), lit(" "))))
+        .select(col("event_id"),
+          coalesce(expr("CAST(try_cast(trim(mixed) AS INT) AS STRING)"),
+            upper(trim(col("mixed")))).as("parsed_key"),
+          expr("try_cast(trim(mixed) AS INT)").as("int_key"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+            coalesce(CAST(TRY_CAST(trim(mixed) AS INTEGER) AS VARCHAR),
+                     upper(trim(mixed))) AS parsed_key,
+            TRY_CAST(trim(mixed) AS INTEGER) AS int_key
+            FROM (SELECT event_id,
+                   CASE WHEN event_id % 3 = 0
+                        THEN ' ' || CAST(event_id AS VARCHAR) || ' '
+                        ELSE ' ' || event_type || ' ' END AS mixed
+                  FROM events)
+            ORDER BY event_id"""))
+
+  /** C5 ▸ layered fallback-keyed dictionary resolve (reference:
+    * _get_illness_key_map fallback chain,
+    * Scripts/python/enhanced_main_etl.py:83-188): dim-table lookup
+    * (broadcast join) → literal fallback map → constant default.
+    */
+  private val c5 = Q("c5_fallback_resolve",
+    (spark, dir) => {
+      val c = t(spark, dir, "customer")
+      // primary dictionary: a partial dim (nations 0-14 only)
+      val dim = t(spark, dir, "nation").filter(col("n_nationkey") < 15)
+        .select(col("n_nationkey"), col("n_name"))
+      // secondary: small literal fallback map, then default
+      val fallback = typedlit(Map(15 -> "FALLBACK_15", 16 -> "FALLBACK_16",
+        17 -> "FALLBACK_17"))
+      c.join(broadcast(dim), col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"),
+          coalesce(col("n_name"),
+            element_at(fallback, col("c_nationkey").cast("int")),
+            lit("UNKNOWN")).as("resolved"),
+          when(col("n_name").isNotNull, "dim")
+            .when(element_at(fallback, col("c_nationkey").cast("int")).isNotNull, "fallback")
+            .otherwise("default").as("source"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+            coalesce(n.n_name,
+                     CASE c_nationkey WHEN 15 THEN 'FALLBACK_15'
+                                      WHEN 16 THEN 'FALLBACK_16'
+                                      WHEN 17 THEN 'FALLBACK_17' END,
+                     'UNKNOWN') AS resolved,
+            CASE WHEN n.n_name IS NOT NULL THEN 'dim'
+                 WHEN c_nationkey IN (15, 16, 17) THEN 'fallback'
+                 ELSE 'default' END AS source
+            FROM customer c LEFT JOIN
+              (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 15) n
+              ON c.c_nationkey = n.n_nationkey
+            ORDER BY c_custkey"""))
+
+  val all: Seq[Q] = Seq(m1, t3, j5, m7, c8, q1, a1, a2, a3, a4, a6, a7, a9, a9p,
+    j1, j2, j4, j6, j8, p1, p4, p5, p6, p8, p9, c1, c2, c5, s5, w1, w2, w4)
 }

@@ -64,6 +64,7 @@ object CdcStream {
           mode = cfg.mode, writerId = wid)
         if (stats.applied) {
           emitMetrics(spark, table.root, stats)
+          emitQc(spark, table.root, stats)
           emitLineage(spark, table.root, stats,
             sourceFilesOf(spark, checkpointDir, epochId))
         } else {
@@ -143,6 +144,26 @@ object CdcStream {
         "observed_rows", "observed_live")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/_metrics/e${s.epochId}")
   }
+
+  /** S9 ▸ QC channel: per-epoch batch-quality metrics (tombstone count,
+    * null-payload count, rates) observed on the merge plan itself —
+    * advisory channel, emitted per applied epoch (reference:
+    * _load_qc_metrics study-level QC rows,
+    * Scripts/python/enhanced_main_etl.py:998-1020).
+    */
+  private def emitQc(spark: SparkSession, root: String, s: BatchStats): Unit = {
+    import spark.implicits._
+    val delRate = if (s.inputEvents > 0) s.qcDeletes.toDouble / s.inputEvents else 0.0
+    val nullRate = if (s.inputEvents > 0) s.qcNullText.toDouble / s.inputEvents else 0.0
+    Seq((s.epochId, s.inputEvents, s.qcDeletes, s.qcNullText, delRate, nullRate))
+      .toDF("epoch_id", "input_events", "n_deletes", "n_null_text",
+        "delete_rate", "null_text_rate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_qc/e${s.epochId}")
+  }
+
+  /** Read back the QC table. */
+  def qc(spark: SparkSession, tableRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$tableRoot/_qc")
 
   private def emitLineage(spark: SparkSession, root: String, s: BatchStats,
       sourceFiles: Seq[String]): Unit = {

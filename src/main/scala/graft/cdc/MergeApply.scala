@@ -38,7 +38,9 @@ final case class BatchStats(
     liveRows: Long,
     durationMs: Long,
     observedRows: Long = -1L,
-    observedLive: Long = -1L)
+    observedLive: Long = -1L,
+    qcDeletes: Long = -1L,
+    qcNullText: Long = -1L)
 
 /** The engine core: apply one micro-batch of change events to a LakeTable
   * as a key-partitioned MERGE upsert.
@@ -95,11 +97,24 @@ object MergeApply {
     // schema version, and the touched-bucket set (≤ numBuckets values) —
     // a single partial-aggregated scan of the batch.
     val b = cur.numBuckets
+    // The head agg also carries the S9 QC counters (tombstones, null
+    // payloads — reference: _load_qc_metrics,
+    // Scripts/python/enhanced_main_etl.py:998-1020) so QC costs no extra
+    // scan. (A second Dataset.observe on the pre-merge leg would be the
+    // pure observe shape, but a CollectMetrics on the non-terminal union
+    // leg never completes its latch inside foreachBatch — the write-plan
+    // observation below is the one that rides the plan.)
+    val qcNullCol =
+      if (events.columns.contains("text"))
+        sum(when(col("op") =!= "D" && col("text").isNull, 1L).otherwise(0L))
+      else sum(lit(0L))
     val head = events.agg(
       count(lit(1)).as("n"),
       max("lsn").as("maxLsn"),
       max("schema_ver").as("maxVer"),
-      collect_set(bucketOf(col(keyCols.head), b)).as("touched")).collect()(0)
+      collect_set(bucketOf(col(keyCols.head), b)).as("touched"),
+      qcNullCol.as("qcNullText"),
+      sum(when(col("op") === "D", 1L).otherwise(0L)).as("qcDeletes")).collect()(0)
     val inputEvents = head.getAs[Long]("n")
     if (inputEvents == 0L)
       return BatchStats(epochId, applied = false, cur.id, 0L, 0L, 0, cur.schemaVer,
@@ -185,7 +200,8 @@ object MergeApply {
       mergeMs = elapsedMs(t0))
     BatchStats(epochId, res.applied, res.snapshot.id, inputEvents, newKeys,
       touched.size, newVer, res.snapshot.maxLsn, res.snapshot.rows, elapsedMs(t0),
-      observedRows = obsRows, observedLive = obsLive)
+      observedRows = obsRows, observedLive = obsLive,
+      qcDeletes = head.getAs[Long]("qcDeletes"), qcNullText = head.getAs[Long]("qcNullText"))
   }
 
   /** Hidden-partitioning bucket expression (Iceberg-style bucket transform). */

@@ -58,6 +58,14 @@ class CdcStreamSpec extends AnyFunSuite {
     val l = CdcStream.lineage(spark, table.root)
     // every source file is linked to the snapshot that committed it
     assert(l.select("source_file").distinct().count() == 8)
+
+    // S9: QC channel — one row per applied epoch, tombstone counts summing
+    // to the generator's delete-event count (observed on the merge plan)
+    val qc = CdcStream.qc(spark, table.root)
+    assert(qc.count() == m.count())
+    val expectedDeletes = (0L until cfg.totalRows)
+      .count(i => ChangeGen.rowAt(cfg, i).op == "D")
+    assert(qc.select("n_deletes").collect().map(_.getLong(0)).sum == expectedDeletes)
   }
 
   test("checkpoint resume: second run over same dir applies nothing new, state intact") {
