@@ -85,6 +85,12 @@ object Bench {
     // identical batches), so each core count is measured `rounds` times
     // INTERLEAVED (N, 4N, N, 4N, …) and the best total is reported —
     // standard practice for scaling numbers on a noisy shared host.
+
+    // (A taskset-pin-the-whole-JVM variant was tried to make "N cores"
+    // strict: it measured WORSE scaling, because squeezing GC/IO helper
+    // threads into N CPUs taxes the 4N side as much as the N side and adds
+    // kernel-migration noise. On a real cluster each executor owns its
+    // cores; local[N] task-thread capping is the closer analogue.)
     def replayOnce(cores: Int, round: Int): (Seq[Double], Long) = {
       val s = Sessions.local(cores, appName = s"graft-replay-$cores-r$round")
       s.sparkContext.setLogLevel("WARN")
@@ -190,8 +196,10 @@ object Bench {
     md ++= f"| noise-floor walls (N / 4N, composed) | $tNFloor%.2f s / $t4NFloor%.2f s → eff $effFloor%.3f |\n"
     md ++= f"| peak throughput at $peakCores cores | $epsPeak%,.0f events/s |\n"
     md ++= f"| reference honesty baseline (BASELINE.md) | 12,000 records/s single node |\n"
-    val qlabel = if (queryTimes.isEmpty) "prior run, see table" else s"${queryTimes.size} queries"
-    md ++= f"| operator catalog total (sf0.1, $qlabel) | $totalQuery%.1f s |\n\n"
+    if (queryTimes.isEmpty)
+      md ++= "| operator catalog total | not run this pass (table below is the prior run) |\n\n"
+    else
+      md ++= f"| operator catalog total (sf0.1, ${queryTimes.size} queries) | $totalQuery%.1f s |\n\n"
     md ++= "Methodology & host caveats:\n\n"
     md ++= "- Each core count is measured in interleaved rounds (N, 4N, N, 4N, ...).\n"
     md ++= "  Two aggregates are reported and named explicitly: `best` = best\n"

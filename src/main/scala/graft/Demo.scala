@@ -69,11 +69,11 @@ object Demo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val cfg = GenConfig(numEvents = events)
-    val all = ChangeGen.emittedEvents(spark, cfg).collect()
-    val per = math.max(1, (all.length + nFiles - 1) / nFiles)
-    all.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
-      StreamFiles.writeFlat(spark.createDataset(chunk.toSeq).toDF(), s"$dir/events", f"chunk-$i%04d")
-    }
+    // Distributed chunked write (no driver collect): the stream demo runs
+    // at any scale the batch path does.
+    val nChunks = StreamFiles.writeChunkedOrdered(
+      ChangeGen.emittedKeyed(spark, cfg), s"$dir/events", nFiles, Seq("k", "i"), "e")
+    println(s"[demo] wrote $nChunks stream chunk files under $dir/events")
     val table =
       if (LakeTable.exists(spark, s"$dir/transcripts")) LakeTable.load(spark, s"$dir/transcripts")
       else LakeTable.create(spark, s"$dir/transcripts", schemaVer = 1, numBuckets = 32)

@@ -54,6 +54,29 @@ object PlanAudit {
     audit("j5_anti_join_dedup",
       "left anti join" -> (p => p.contains("LeftAnti")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    // scalar-threshold queries are ONE lazy plan: building the DataFrame
+    // must run zero Spark jobs (a driver-side .head probe would run one —
+    // two scans and two scheduling rounds per query at scale)
+    Seq("j5_anti_join_dedup", "j6_anti_probe").foreach { name =>
+      var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      SparkEntry.queries(name)(spark, dir) // construction only — no action
+      Thread.sleep(300) // listener bus is async; give any job event time to land
+      spark.sparkContext.removeSparkListener(listener)
+      val ok = jobs == 0
+      if (!ok) failures += 1
+      println(s"[audit] $name :: lazy construction, no driver-side probe jobs -> ${if (ok) "OK" else s"VIOLATED ($jobs jobs)"}")
+    }
+    // similarity/near-dup candidate joins must be bucketed equi-joins,
+    // never all-pairs
+    audit("d3_simhash",
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    audit("sim2_lsh_ann",
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
     // top-k must be TakeOrderedAndProject, not a global sort+window
     audit("w1_ranked_topk",
       "take-ordered top-k" -> (_.contains("TakeOrderedAndProject")))

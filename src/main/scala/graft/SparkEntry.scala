@@ -38,7 +38,9 @@ object SparkEntry {
 
   private def cdcReplay(
       spark: SparkSession, events: Long, batches: Int,
-      dumpDir: Option[String] = None): DataFrame = {
+      dumpDir: Option[String] = None,
+      strategy: graft.cdc.WriteStrategy = graft.cdc.WriteStrategy.CopyOnWrite,
+      compactMidway: Boolean = false): DataFrame = {
     val cfg = GenConfig(numEvents = events)
     dumpDir.foreach(d =>
       ChangeGen.events(spark, cfg).toDF().coalesce(1).write.mode("overwrite").parquet(d))
@@ -47,7 +49,11 @@ object SparkEntry {
     val per = (cfg.totalRows + batches - 1) / batches
     (0 until batches).foreach { b =>
       val slice = ChangeGen.eventSlice(spark, cfg, b * per, math.min(cfg.totalRows, (b + 1) * per))
-      MergeApply.applyBatch(table, slice.toDF(), epochId = b.toLong)
+      MergeApply.applyBatch(table, slice.toDF(), epochId = b.toLong, strategy = strategy)
+      // Exercise the delta→base fold in the middle of the replay so the
+      // driver-checked result covers base+delta interleaving, not just a
+      // pure delta stack.
+      if (compactMidway && b == batches / 2 - 1) table.compact(foldDeltas = true)
     }
     table.read().orderBy("conv_id", "turn_idx")
   }
@@ -64,17 +70,28 @@ object SparkEntry {
         WHERE rn = 1 AND op <> 'D'
         ORDER BY conv_id, turn_idx"""
 
+  private val morChangeLogDump = "/tmp/graft_oracle/cdc_change_events_mor"
+
+  private def morOracle: String =
+    cdcReplayOracle.replace(changeLogDump, morChangeLogDump)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.run).toMap +
       ("cdc_replay_final_state" ->
-        ((s: SparkSession, _: String) => cdcReplay(s, 2000L, 2, Some(changeLogDump))))
+        ((s: SparkSession, _: String) => cdcReplay(s, 2000L, 2, Some(changeLogDump)))) +
+      // Merge-on-read replay: delta appends + a midway fold, same LWW
+      // final-state contract, checked against the same row_number oracle.
+      ("cdc_replay_mor" ->
+        ((s: SparkSession, _: String) => cdcReplay(s, 2000L, 4, Some(morChangeLogDump),
+          strategy = graft.cdc.WriteStrategy.MergeOnRead, compactMidway = true)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     (catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap +
-      ("cdc_replay_final_state" -> cdcReplayOracle))
+      ("cdc_replay_final_state" -> cdcReplayOracle) +
+      ("cdc_replay_mor" -> morOracle))
       .map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -29,12 +29,21 @@ import graft.model.Model
   */
 object CdcStream {
 
+  /** @param strategy copy-on-write (default) or merge-on-read delta
+    *                  appends (see [[WriteStrategy]])
+    * @param compactEveryEpochs under merge-on-read, fold the delta stack
+    *                  back to base files every N applied epochs (0 = never;
+    *                  compaction is itself a fenceless maintenance commit,
+    *                  so a crash mid-compaction is harmless)
+    */
   final case class StreamConfig(
       maxFilesPerTrigger: Int = 4,
       saltFactor: Int = 4,
       availableNow: Boolean = true,
       triggerMs: Long = 500L,
-      mode: MergeMode = MergeMode.Upsert)
+      mode: MergeMode = MergeMode.Upsert,
+      strategy: WriteStrategy = WriteStrategy.CopyOnWrite,
+      compactEveryEpochs: Int = 0)
 
   /** Stream identity for epoch fencing: stable across restarts of the SAME
     * checkpoint (epochIds are scoped to a checkpoint), different for a
@@ -61,12 +70,14 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val stats = MergeApply.applyBatch(table, batch, epochId, cfg.saltFactor,
-          mode = cfg.mode, writerId = wid)
+          mode = cfg.mode, writerId = wid, strategy = cfg.strategy)
         if (stats.applied) {
           emitMetrics(spark, table.root, stats)
           emitQc(spark, table.root, stats)
           emitLineage(spark, table.root, stats,
             sourceFilesOf(spark, checkpointDir, epochId))
+          if (cfg.compactEveryEpochs > 0 && epochId % cfg.compactEveryEpochs == (cfg.compactEveryEpochs - 1))
+            table.compact(foldDeltas = true)
         } else {
           // Crash-window replay: the epoch's commit already applied but the
           // metrics/lineage writes may have been lost with the crash. The

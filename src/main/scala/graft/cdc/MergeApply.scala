@@ -25,6 +25,30 @@ object MergeMode {
   case object UpdateOnly extends MergeMode
 }
 
+/** How a batch's winning rows reach the table.
+  *
+  *   - [[WriteStrategy.CopyOnWrite]] reads the touched buckets' current
+  *     rows, merges, and rewrites those buckets. Best when the batch
+  *     touches a bounded set of hot keys (the transcript regime: events ≫
+  *     keys) — reads of a CoW table are shuffle-free.
+  *   - [[WriteStrategy.MergeOnRead]] appends the batch's deduped winners
+  *     as per-bucket DELTA files without reading the table at all (Upsert
+  *     mode): per-batch write cost is O(batch), not O(touched table), the
+  *     regime where keys are spread wide and every bucket is touched —
+  *     at 100 TB a CoW batch there would rewrite the whole table. Reads
+  *     LWW-resolve delta-carrying buckets ([[LakeTable.readResolved]]);
+  *     [[LakeTable.compact]](foldDeltas = true) folds deltas back to base.
+  *
+  * The same dichotomy as Iceberg v2 copy-on-write vs merge-on-read; both
+  * strategies commit through the same fenced snapshot protocol and may be
+  * mixed batch-by-batch on one table.
+  */
+sealed trait WriteStrategy
+object WriteStrategy {
+  case object CopyOnWrite extends WriteStrategy
+  case object MergeOnRead extends WriteStrategy
+}
+
 /** Per-micro-batch outcome, used for metrics + lineage emission. */
 final case class BatchStats(
     epochId: Long,
@@ -80,7 +104,8 @@ object MergeApply {
       saltFactor: Int = 4,
       saltRowThreshold: Long = 50000L,
       mode: MergeMode = MergeMode.Upsert,
-      writerId: String = ""): BatchStats = {
+      writerId: String = "",
+      strategy: WriteStrategy = WriteStrategy.CopyOnWrite): BatchStats = {
     val t0 = System.nanoTime()
     val spark = table.spark
     val cur = table.current
@@ -108,13 +133,13 @@ object MergeApply {
       if (events.columns.contains("text"))
         sum(when(col("op") =!= "D" && col("text").isNull, 1L).otherwise(0L))
       else sum(lit(0L))
-    val head = events.agg(
+    val head = timed("head-agg")(events.agg(
       count(lit(1)).as("n"),
       max("lsn").as("maxLsn"),
       max("schema_ver").as("maxVer"),
       collect_set(bucketOf(col(keyCols.head), b)).as("touched"),
       qcNullCol.as("qcNullText"),
-      sum(when(col("op") === "D", 1L).otherwise(0L)).as("qcDeletes")).collect()(0)
+      sum(when(col("op") === "D", 1L).otherwise(0L)).as("qcDeletes")).collect()(0))
     val inputEvents = head.getAs[Long]("n")
     if (inputEvents == 0L)
       return BatchStats(epochId, applied = false, cur.id, 0L, 0L, 0, cur.schemaVer,
@@ -130,16 +155,17 @@ object MergeApply {
     //    semantics, one shuffle instead of two).
     val batchRows = conformEvents(events, target, keyCols)
 
-    // 2. Current rows of touched buckets, viewed as pseudo-events carrying
-    //    their stored winning `_lsn` (enables cross-batch LWW).
-    val currentRows = LakeTable.conform(
-      table.readConformed(cur, Some(touched)),
-      table.physicalSchema(cur.schemaVer), StructType(target.fields ++ LakeTable.internalCols))
+    val isMor = strategy == WriteStrategy.MergeOnRead
+    val mergeCols = target.fieldNames.toSeq ++ Seq("_lsn", "_deleted")
 
-    // 2b. Merge-mode gate: restrict which batch keys may touch the table.
-    //     "Matched" means a LIVE current row exists for the key (a
-    //     tombstone counts as NOT matched, same as SQL MERGE after DELETE).
-    val liveKeys = currentRows.filter(!col("_deleted")).select(keyCols.map(col): _*)
+    // 2. Merge-mode gate: restrict which batch keys may touch the table.
+    //    "Matched" means a LIVE current row exists for the key (a
+    //    tombstone counts as NOT matched, same as SQL MERGE after DELETE).
+    //    Gating is the only reason merge-on-read would read the table, so
+    //    the key probe is column-pruned and LWW-resolved; plain Upsert
+    //    under merge-on-read never reads the table at all.
+    def liveKeys = table.readResolved(cur, Some(touched))
+      .filter(!col("_deleted")).select(keyCols.map(col): _*)
     val gatedBatch = mode match {
       case MergeMode.Upsert => batchRows
       case MergeMode.InsertOnly =>
@@ -148,12 +174,24 @@ object MergeApply {
         batchRows.join(liveKeys, keyCols, "left_semi")
     }
 
-    // 3. Resolve: union current + incoming, keep max-LSN row per key.
+    // 3. Resolve: keep the max-LSN row per key. Copy-on-write unions the
+    //    touched buckets' current row versions in as pseudo-events
+    //    (cross-batch LWW; any unresolved deltas from earlier merge-on-read
+    //    batches resolve here too); merge-on-read dedups the batch alone —
+    //    cross-batch LWW then happens at read time over the delta stack.
     //    (Duplicate re-emissions share an LSN and identical payload, so
     //    max_by ties are safe.)
-    val mergeCols = target.fieldNames.toSeq ++ Seq("_lsn", "_deleted")
-    val resolved = currentRows.select(mergeCols.map(col): _*)
-      .unionByName(gatedBatch.select(mergeCols.map(col): _*))
+    val toResolve =
+      if (isMor) gatedBatch.select(mergeCols.map(col): _*)
+      else {
+        val currentRows = LakeTable.conform(
+          table.readConformed(cur, Some(touched)),
+          table.physicalSchema(cur.schemaVer),
+          StructType(target.fields ++ LakeTable.internalCols))
+        currentRows.select(mergeCols.map(col): _*)
+          .unionByName(gatedBatch.select(mergeCols.map(col): _*))
+      }
+    val resolved = toResolve
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(mergeCols.map(col): _*), col("_lsn")).as("r"))
       .select(col("r.*"))
@@ -179,25 +217,32 @@ object MergeApply {
         sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
       .repartition(parts, col("_bucket"),
         pmod(xxhash64(keyCols.map(col): _*), lit(salt)))
-    val files = table.writeDataFiles(salted, newVer)
+    val files = timed("merge-write")(table.writeDataFiles(salted, newVer,
+      kind = if (isMor) graft.lake.FileEntry.Delta else graft.lake.FileEntry.Base))
     val observed = obs.get
     val obsRows = observed.get("rows").collect { case x: Long => x }.getOrElse(-1L)
     val obsLive = Option(observed.getOrElse("live", null)).collect { case x: Long => x }.getOrElse(0L)
 
-    // 5. Atomic fenced commit. Per-file row/live stats were collected by
-    //    writeDataFiles in one pass; the old-live side comes from the
-    //    manifest, so no second scan of current data.
+    // 5. Atomic fenced commit. Copy-on-write REPLACES the touched buckets'
+    //    files; merge-on-read replaces nothing (pure append). Per-file
+    //    row/live stats were collected by writeDataFiles in one pass; the
+    //    old-live side comes from the manifest, so no second scan of
+    //    current data.
     val newKeys = files.map(_.rows).sum
     val newLive = files.map(_.live).sum
-    val replaced = cur.files.filter(f => touched.contains(f.bucket))
     val oldLive =
-      if (replaced.forall(_.live >= 0)) replaced.map(_.live).sum
-      else table.readConformed(cur, Some(touched)).filter(!col("_deleted")).count()
+      if (isMor) 0L
+      else {
+        val replaced = cur.files.filter(f => touched.contains(f.bucket))
+        if (replaced.forall(_.live >= 0)) replaced.map(_.live).sum
+        else table.readConformed(cur, Some(touched)).filter(!col("_deleted")).count()
+      }
 
-    val res: CommitResult = table.commit(files, touched, epochId, newVer,
+    val res: CommitResult = timed("commit")(table.commit(files,
+      if (isMor) Set.empty else touched, epochId, newVer,
       rowDelta = newLive - oldLive, maxLsnSeen = batchMaxLsn,
       writerId = writerId, inputEvents = inputEvents, dedupedKeys = newKeys,
-      mergeMs = elapsedMs(t0))
+      mergeMs = elapsedMs(t0)))
     BatchStats(epochId, res.applied, res.snapshot.id, inputEvents, newKeys,
       touched.size, newVer, res.snapshot.maxLsn, res.snapshot.rows, elapsedMs(t0),
       observedRows = obsRows, observedLive = obsLive,
@@ -230,4 +275,16 @@ object MergeApply {
   }
 
   private def elapsedMs(t0: Long): Long = (System.nanoTime() - t0) / 1000000L
+
+  /** Per-step wall timing to stderr when SPARK_GRAFT_TRACE=1 (perf triage). */
+  private[graft] val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+  private[graft] def timed[A](what: String)(f: => A): A = {
+    if (!trace) f
+    else {
+      val t = System.nanoTime()
+      val r = f
+      System.err.println(f"[trace] $what ${(System.nanoTime() - t) / 1e9}%.2fs")
+      r
+    }
+  }
 }

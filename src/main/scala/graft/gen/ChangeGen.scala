@@ -125,6 +125,18 @@ object ChangeGen {
       .orderBy("_1", "_2").map(_._3)
   }
 
+  /** Emitted stream with its (emit key, generator index) order columns kept
+    * alongside the event struct (`k`, `i`, `e`) — the distributed input to
+    * [[graft.cdc.StreamFiles.writeChunkedOrdered]], which needs the order
+    * columns to range-partition without a driver-side sort/collect.
+    */
+  def emittedKeyed(spark: SparkSession, cfg: GenConfig): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, cfg.totalRows).as[Long]
+      .map(i => (emitKey(cfg, i), i, rowAt(cfg, i)))
+      .toDF("k", "i", "e")
+  }
+
   /** The reference oracle: a deliberately naive in-memory fold by ascending
     * LSN, last-writer-wins, delete removes the key (SURVEY.md §5.3). The
     * engine's final table state must equal this map exactly.

@@ -14,9 +14,18 @@ import graft.model.Model
 /** One immutable data file of a snapshot. `bucket` is the hash-bucket of
   * `conv_id` the file belongs to (hidden partitioning); `schemaVer` is the
   * writer schema version recorded so old files can be conformed (cast /
-  * null-filled) to the current table schema on read.
+  * null-filled) to the current table schema on read. `kind` distinguishes
+  * copy-on-write `base` files (≤1 version per key per bucket across all
+  * base files) from merge-on-read `delta` files (appended row versions the
+  * read path resolves by max `_lsn` per key until compaction folds them).
   */
-final case class FileEntry(path: String, bucket: Int, schemaVer: Int, rows: Long, live: Long = -1L)
+final case class FileEntry(path: String, bucket: Int, schemaVer: Int, rows: Long,
+    live: Long = -1L, kind: String = FileEntry.Base)
+
+object FileEntry {
+  val Base = "base"
+  val Delta = "delta"
+}
 
 /** A committed table snapshot. The table's commit protocol gives the
   * load-bearing subset of Iceberg semantics the north rule needs, built
@@ -140,26 +149,59 @@ final class LakeTable(
 
   // ---- read path ----
 
-  /** Public read: current schema, live rows only, internal cols dropped. */
+  /** Public read: current schema, live rows only, internal cols dropped.
+    * Delta-carrying buckets (merge-on-read) are LWW-resolved per key; pure
+    * base buckets pass through with no shuffle.
+    */
   def read(): DataFrame = {
     val snap = current
-    readConformed(snap, None)
+    readResolved(snap, None)
       .filter(!col("_deleted"))
       .select(registry(snap.schemaVer).fieldNames.map(col).toSeq: _*)
   }
 
-  /** Internal read (merge path): rows incl. tombstones + `_lsn`/`_deleted`,
-    * restricted to `buckets` when given (copy-on-write reads only touched
-    * buckets). Old-schema files are conformed: missing columns null-filled,
-    * widened types cast up — the explicit read-side evolution the registry
-    * promises (int32→int64 `turn_idx`, added `tool`).
+  /** Internal read (merge path): ALL stored row versions incl. tombstones +
+    * `_lsn`/`_deleted`, restricted to `buckets` when given (copy-on-write
+    * reads only touched buckets). Old-schema files are conformed: missing
+    * columns null-filled, widened types cast up — the explicit read-side
+    * evolution the registry promises (int32→int64 `turn_idx`, added
+    * `tool`). NOTE: a bucket with merge-on-read delta files yields multiple
+    * versions per key here; consumers either resolve themselves (the merge
+    * kernel's max_by subsumes it) or call [[readResolved]].
     */
   def readConformed(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
-    val target = physicalSchema(snap.schemaVer)
     val wanted = buckets match {
       case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
       case None => snap.files
     }
+    readFiles(wanted, snap.schemaVer)
+  }
+
+  /** One LWW-resolved row per key (tombstone winners kept): the
+    * merge-on-read read path. Only buckets that actually carry delta files
+    * pay the resolve shuffle — base-only buckets are unioned through
+    * untouched, so a fully-compacted (or pure copy-on-write) table reads
+    * with zero extra exchanges.
+    */
+  def readResolved(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
+    val wanted = buckets match {
+      case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
+      case None => snap.files
+    }
+    val deltaBuckets = wanted.filter(_.kind == FileEntry.Delta).map(_.bucket).toSet
+    if (deltaBuckets.isEmpty) return readFiles(wanted, snap.schemaVer)
+    val (multi, pure) = wanted.partition(f => deltaBuckets.contains(f.bucket))
+    val cols = physicalSchema(snap.schemaVer).fieldNames.toSeq
+    val resolved = readFiles(multi, snap.schemaVer)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), col("_lsn")).as("r"))
+      .select(col("r.*"))
+    if (pure.isEmpty) resolved
+    else resolved.unionByName(readFiles(pure, snap.schemaVer))
+  }
+
+  private def readFiles(wanted: Seq[FileEntry], targetVer: Int): DataFrame = {
+    val target = physicalSchema(targetVer)
     val groups = wanted.groupBy(_.schemaVer)
     val parts = groups.toSeq.sortBy(_._1).map { case (ver, fes) =>
       val physical = physicalSchema(ver)
@@ -193,15 +235,25 @@ final class LakeTable(
     val cur = current
     if (fenced(cur, epochId, writerId)) return CommitResult(cur, applied = false)
     val kept = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
+    val allFiles = kept ++ newFiles
+    // Live-row count is exact from manifest stats while the one-version-
+    // per-key invariant holds (no unresolved delta files). With deltas
+    // pending it is UNKNOWN (-1) until compaction folds them — a delta row
+    // may shadow a base row, so summing would double-count; Iceberg's MoR
+    // record_count has the same caveat.
+    val rows =
+      if (allFiles.exists(_.kind == FileEntry.Delta)) -1L
+      else if (allFiles.forall(_.live >= 0L)) allFiles.map(_.live).sum
+      else cur.rows + rowDelta
     val snap = Snapshot(
       id = cur.id + 1,
       parent = cur.id,
       epochId = if (epochId >= 0) epochId else cur.epochId,
       schemaVer = math.max(schemaVer, cur.schemaVer),
       numBuckets = cur.numBuckets,
-      rows = cur.rows + rowDelta,
+      rows = rows,
       maxLsn = math.max(maxLsnSeen, cur.maxLsn),
-      files = kept ++ newFiles,
+      files = allFiles,
       writerId = if (epochId >= 0) writerId else cur.writerId,
       inputEvents = inputEvents,
       dedupedKeys = dedupedKeys,
@@ -238,68 +290,61 @@ final class LakeTable(
     * and recorded in the manifest — they make later merge commits'
     * row-delta accounting a driver-side sum instead of a rescan.
     */
-  def writeDataFiles(df: DataFrame, schemaVer: Int): Seq[FileEntry] = {
+  def writeDataFiles(df: DataFrame, schemaVer: Int,
+      kind: String = FileEntry.Base): Seq[FileEntry] = {
     val dir = new Path(new Path(rootPath, "data"),
       s"c${System.currentTimeMillis()}-${java.util.UUID.randomUUID.toString.take(8)}")
-    df.sortWithinPartitions("_bucket", keyCols: _*)
-      .write.partitionBy("_bucket").mode("overwrite").parquet(dir.toString)
-    val entries = listDataFiles(dir.toString, schemaVer)
-    if (entries.isEmpty) return entries
-    val stats = spark.read.parquet(entries.map(_.path): _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("n"), sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
-      .collect()
-      .map(r => normPath(r.getString(0)) -> (r.getLong(1), r.getAs[Any]("live") match {
-        case null => 0L
-        case x: Long => x
-      })).toMap
-    entries.map { e =>
-      stats.get(normPath(e.path)) match {
-        case Some((n, live)) => e.copy(rows = n, live = live)
-        case None => e.copy(rows = 0L, live = 0L) // empty file
+    graft.cdc.MergeApply.timed("merge-write-files")(
+      df.sortWithinPartitions("_bucket", keyCols: _*)
+        .write.partitionBy("_bucket").mode("overwrite").parquet(dir.toString))
+    // Manifest entries come straight out of ONE stats pass over the commit
+    // directory (single tree listing via partition discovery). An explicit
+    // per-file path list here would cost a getFileStatus round trip PER
+    // FILE on open — measured 1-2 s of serial driver time per epoch at 256
+    // files, pure fixed cost that breaks N→4N scaling.
+    graft.cdc.MergeApply.timed("file-stats") {
+      val statRows =
+        try spark.read.parquet(dir.toString)
+          .select(input_file_name().as("f"), col("_bucket"), col("_deleted"))
+          .groupBy(col("f"), col("_bucket"))
+          .agg(count(lit(1)).as("n"), sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
+          .collect()
+        catch { case _: org.apache.spark.sql.AnalysisException => Array.empty[org.apache.spark.sql.Row] }
+      statRows.toSeq.map { r =>
+        // Path.toString canonicalizes the file:///-form URI from
+        // input_file_name to the file:/-form the rest of the table layer
+        // (and expireSnapshots' liveness check) uses.
+        FileEntry(new Path(new java.net.URI(r.getString(0))).toString,
+          r.getInt(1), schemaVer, r.getLong(2),
+          r.getAs[Any]("live") match { case null => 0L; case x: Long => x },
+          kind)
       }
     }
-  }
-
-  /** Scheme-insensitive path key: `file:///x` and `file:/x` → `/x`.
-    * (Keyed on the FULL path — partitionBy reuses the same part-file
-    * basename across bucket directories, so basenames collide.)
-    */
-  private def normPath(p: String): String = p.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
-
-  private def listDataFiles(dir: String, schemaVer: Int): Seq[FileEntry] = {
-    val out = mutable.ArrayBuffer[FileEntry]()
-    val it = fs.listFiles(new Path(dir), true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      if (p.getName.endsWith(".parquet")) {
-        val bucket = p.getParent.getName match {
-          case s if s.startsWith("_bucket=") => s.stripPrefix("_bucket=").toInt
-          case _ => -1
-        }
-        out += FileEntry(p.toString, bucket, schemaVer, -1L)
-      }
-    }
-    out.toSeq
   }
 
   // ---- maintenance ----
 
   /** Bin-pack compaction: rewrite every bucket that has more than
-    * `maxFilesPerBucket` files into one sorted file (per salt-split task),
-    * committed as a metadata-neutral maintenance snapshot (epoch map
-    * unchanged). Bounds read amplification that copy-on-write + salting
-    * accumulate on hot buckets; also drops tombstones older than
-    * `dropTombstonesBelowLsn` (safe once the out-of-order window for those
-    * LSNs has certainly passed).
+    * `maxFilesPerBucket` files — or, with `foldDeltas`, any unresolved
+    * merge-on-read delta file — into one LWW-resolved sorted base file
+    * (per salt-split task), committed as a metadata-neutral maintenance
+    * snapshot (epoch map unchanged). Bounds the read amplification that
+    * copy-on-write salting and merge-on-read deltas accumulate on hot
+    * buckets; also drops tombstones older than `dropTombstonesBelowLsn`
+    * (safe once the out-of-order window for those LSNs has certainly
+    * passed). Folding all deltas restores the exact manifest live-row
+    * count ([[commit]] row accounting).
     */
-  def compact(maxFilesPerBucket: Int = 4, dropTombstonesBelowLsn: Long = -1L): CommitResult = {
+  def compact(maxFilesPerBucket: Int = 4, dropTombstonesBelowLsn: Long = -1L,
+      foldDeltas: Boolean = false): CommitResult = {
     val cur = current
     val byBucket = cur.files.groupBy(_.bucket)
-    val fat = byBucket.filter(_._2.size > maxFilesPerBucket).keySet
+    val fat = byBucket.filter { case (_, fs) =>
+      fs.size > maxFilesPerBucket ||
+        (foldDeltas && fs.exists(_.kind == FileEntry.Delta))
+    }.keySet
     if (fat.isEmpty) return CommitResult(cur, applied = false)
-    var df = readConformed(cur, Some(fat))
+    var df = readResolved(cur, Some(fat))
       .withColumn("_bucket", pmod(xxhash64(col(keyCols.head)), lit(cur.numBuckets)).cast(IntegerType))
     if (dropTombstonesBelowLsn >= 0)
       df = df.filter(!col("_deleted") || col("_lsn") >= dropTombstonesBelowLsn)
@@ -388,7 +433,7 @@ object LakeTable {
     }
     val files = s.files.map(f =>
       s"""{"path":"${esc(f.path)}","bucket":${f.bucket},"schemaVer":${f.schemaVer},""" +
-        s""""rows":${f.rows},"live":${f.live}}""")
+        s""""rows":${f.rows},"live":${f.live},"kind":"${esc(f.kind)}"}""")
       .mkString("[", ",", "]")
     s"""{"id":${s.id},"parent":${s.parent},"epochId":${s.epochId},"schemaVer":${s.schemaVer},""" +
       s""""numBuckets":${s.numBuckets},"rows":${s.rows},"maxLsn":${s.maxLsn},""" +
@@ -404,7 +449,8 @@ object LakeTable {
       val f = n.get("files").get(i)
       FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
         f.get("schemaVer").asInt(), f.get("rows").asLong(),
-        if (f.has("live")) f.get("live").asLong() else -1L)
+        if (f.has("live")) f.get("live").asLong() else -1L,
+        if (f.has("kind")) f.get("kind").asText() else FileEntry.Base)
     }
     def optLong(k: String): Long = if (n.has(k)) n.get(k).asLong() else -1L
     Snapshot(n.get("id").asLong(), n.get("parent").asLong(), n.get("epochId").asLong(),

@@ -149,13 +149,17 @@ object SimilarityQueries {
     None)
 
   /** D2 ▸ banded MinHash-LSH near-dup candidates over documents: 3-word
-    * shingles → 16 xxhash64 minhashes → 4 bands of 4 → bucket-join pairs +
-    * estimated Jaccard (fraction of matching minhashes). Engine-only;
-    * planted-duplicate correctness lives in DedupSpec.
+    * shingles → 16 minhashes → 4 bands of 4 → bucket-join pairs +
+    * estimated Jaccard (fraction of matching minhashes). The catalog entry
+    * runs in `reproducible = true` mode (sha256-derived 60-bit hashes,
+    * string band buckets) so DuckDB can replay the exact pipeline and the
+    * driver hash-checks it; production callers keep the default xxhash64
+    * mode (same algorithm, cheaper hash).
     */
   private[sim] val d2 = Q("d2_minhash_lsh",
-    (spark, dir) => minhashPairs(docs(spark, dir), minJaccardEst = 0.5),
-    None)
+    (spark, dir) => minhashPairs(docs(spark, dir), minJaccardEst = 0.5,
+      reproducible = true),
+    Some(d2OracleSql))
 
   /** Shared MinHash pipeline: returns candidate pairs (d1, d2, est_jaccard).
     *
@@ -170,8 +174,24 @@ object SimilarityQueries {
     *     distinct never shuffles array payloads
     */
   def minhashPairs(documents: DataFrame, minJaccardEst: Double,
-      nHashes: Int = 16, bandSize: Int = 4, maxBucketSize: Int = 64): DataFrame = {
+      nHashes: Int = 16, bandSize: Int = 4, maxBucketSize: Int = 64,
+      reproducible: Boolean = false): DataFrame = {
     val bands = nHashes / bandSize
+    // Per-permutation shingle hash. Default: xxhash64(s, seed=p) — fast,
+    // codegen'd. Reproducible: 60-bit int from the first 15 hex digits of
+    // sha256("p:" || s) — byte-identical in DuckDB ('0x…'::BIGINT), used
+    // by the driver-checked catalog entry.
+    def permHash(p: Int) =
+      if (reproducible)
+        conv(substring(sha2(concat_ws(":", lit(p.toString), col("s")), 256), 1, 15),
+          16, 10).cast("long")
+      else xxhash64(col("s"), lit(p))
+    // Band bucket identity only needs equality; reproducible mode keeps
+    // the raw joined-minhash string (DuckDB: array_to_string of the list
+    // slice), default mode hashes it down to 8 bytes for the shuffle.
+    val bucketSql =
+      if (reproducible) s"concat_ws(',', slice(minhashes, b * $bandSize + 1, $bandSize))"
+      else s"xxhash64(concat_ws(',', slice(minhashes, b * $bandSize + 1, $bandSize)))"
     // Relational minhash: explode shingles, then one codegen'd min-agg per
     // permutation. The Aggregate is a plan barrier, so downstream
     // references never re-inline the shingling work (nested higher-order
@@ -186,10 +206,10 @@ object SimilarityQueries {
       .select(col("doc_id"), explode(col("shingles")).as("s"))
     val sh = shingleRows
       .groupBy(col("doc_id"))
-      .agg(array((0 until nHashes).map(p => min(xxhash64(col("s"), lit(p)))): _*).as("minhashes"))
+      .agg(array((0 until nHashes).map(p => min(permHash(p))): _*).as("minhashes"))
     val banded = sh.withColumn("bb", expr(
       s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
-        s"xxhash64(concat_ws(',', slice(minhashes, b * $bandSize + 1, $bandSize))) AS bucket))"))
+        s"$bucketSql AS bucket))"))
       .select(col("doc_id"), explode(col("bb")).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val smallBuckets = banded.groupBy(col("band"), col("bucket"))
@@ -276,6 +296,44 @@ object SimilarityQueries {
     }.reduce(_ + _)
     bitSums.select(col("doc_id"), simhashCol.as("simhash"))
   }
+
+  /** DuckDB twin of d2 in reproducible mode: same shingling, same
+    * sha256-derived per-permutation hashes ('0x…'::BIGINT ≡ Spark
+    * conv(…,16,10)), same string band buckets, same hot-bucket skip and
+    * signature-match Jaccard estimate. Constants mirror the catalog call
+    * (16 hashes, 4×4 bands, maxBucketSize 64, est ≥ 0.5).
+    */
+  private def d2OracleSql: String =
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         FROM documents),
+       sh AS (
+         SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+           THEN list_transform(generate_series(1, len(toks)-2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [array_to_string(toks, ' ')] END) AS s
+         FROM toks),
+       mh AS (
+         SELECT doc_id, p,
+            min(CAST(('0x' || substr(sha256(CAST(p AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS h
+         FROM sh, generate_series(0, 15) AS g(p)
+         GROUP BY doc_id, p),
+       sig AS (SELECT doc_id, list(h ORDER BY p) AS minhashes FROM mh GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, b AS band,
+                array_to_string(minhashes[b*4+1:b*4+4], ',') AS bucket
+         FROM sig, generate_series(0, 3) AS g(b)),
+       smallb AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) <= 64),
+       kept AS (SELECT b.* FROM banded b JOIN smallb USING (band, bucket)),
+       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id),
+       withsig AS (SELECT d1, d2, s1.minhashes AS m1, s2.minhashes AS m2 FROM cand
+                   JOIN sig s1 ON s1.doc_id = cand.d1 JOIN sig s2 ON s2.doc_id = cand.d2),
+       est AS (SELECT d1, d2,
+                 round(sum(CASE WHEN m1[i] = m2[i] THEN 1 ELSE 0 END)/16.0, 4) AS est_jaccard
+               FROM withsig, generate_series(1, 16) AS g(i) GROUP BY d1, d2)
+       SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY d1, d2"""
 
   /** DuckDB twin of d3, generated (63 conditional-sum columns). */
   private def d3OracleSql: String = {
