@@ -24,14 +24,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 10M-event micro-batches: small enough to be a realistic trigger
-    // interval, large enough that merge compute dominates per-batch fixed
-    // costs (at 2M-event batches the whole merge takes ~5 s and scheduling
-    // overhead hides the parallelism).
-    // 12M-event micro-batches: per-batch driver-side fixed time (commit,
-    // stats, scheduling ≈ 3 s) does not scale with cores, so batches must
-    // be large enough that it stays a small fraction of the N-core wall.
-    val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "16000000").toLong
+    // 24M-event micro-batches (48M over 2). Per-epoch driver-side time
+    // (plan analysis, head agg scheduling, file stats, commit ≈ 3-4 s)
+    // does not scale with cores, so batches must be large enough that it
+    // stays a small fraction of the N-core wall — at 8M-event batches the
+    // serial slice alone caps 2→8-core efficiency near 0.72. 24M/batch is
+    // also the representative regime: the north-star 10^10-event stream in
+    // a few hundred triggers is tens of millions of events per batch.
+    val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "48000000").toLong
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "2").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
     // Scaling pair N vs 4N. Default N=2 (→ 4N=8): a single busy thread

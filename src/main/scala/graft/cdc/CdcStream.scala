@@ -156,16 +156,17 @@ object CdcStream {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/_metrics/e${s.epochId}")
   }
 
-  /** S9 ▸ QC channel: per-epoch batch-quality metrics (tombstone count,
-    * null-payload count, rates) observed on the merge plan itself —
-    * advisory channel, emitted per applied epoch (reference:
-    * _load_qc_metrics study-level QC rows,
-    * Scripts/python/enhanced_main_etl.py:998-1020).
+  /** S9 ▸ QC channel: per-epoch batch-quality metrics — tombstone count
+    * over input events (head agg, narrow columns only) and null-payload
+    * count over the RESOLVED live rows (observed on the merge write plan,
+    * so the fat payload column is never scanned twice) — advisory channel,
+    * emitted per applied epoch (reference: _load_qc_metrics study-level QC
+    * rows, Scripts/python/enhanced_main_etl.py:998-1020).
     */
   private def emitQc(spark: SparkSession, root: String, s: BatchStats): Unit = {
     import spark.implicits._
     val delRate = if (s.inputEvents > 0) s.qcDeletes.toDouble / s.inputEvents else 0.0
-    val nullRate = if (s.inputEvents > 0) s.qcNullText.toDouble / s.inputEvents else 0.0
+    val nullRate = if (s.observedLive > 0) s.qcNullText.toDouble / s.observedLive else 0.0
     Seq((s.epochId, s.inputEvents, s.qcDeletes, s.qcNullText, delRate, nullRate))
       .toDF("epoch_id", "input_events", "n_deletes", "n_null_text",
         "delete_rate", "null_text_rate")

@@ -118,27 +118,20 @@ object MergeApply {
       return BatchStats(epochId, applied = false, cur.id, 0L, 0L, 0, cur.schemaVer,
         cur.maxLsn, cur.rows, elapsedMs(t0))
 
-    // One driver-side pass for ALL batch-level facts: count, max lsn, max
-    // schema version, and the touched-bucket set (≤ numBuckets values) —
-    // a single partial-aggregated scan of the batch.
+    // One driver-side pass for the batch-level facts the PLAN ITSELF
+    // depends on: count, max lsn, max schema version, the touched-bucket
+    // set (≤ numBuckets values), and the S9 tombstone count. Everything
+    // here reads only narrow columns (lsn, schema_ver, key, op) — the fat
+    // payload columns are deliberately NOT referenced, so the parquet scan
+    // behind this agg is a fraction of the batch's bytes. Payload-level QC
+    // (null text) rides the write-plan Observation below instead of
+    // forcing a full-width scan here.
     val b = cur.numBuckets
-    // The head agg also carries the S9 QC counters (tombstones, null
-    // payloads — reference: _load_qc_metrics,
-    // Scripts/python/enhanced_main_etl.py:998-1020) so QC costs no extra
-    // scan. (A second Dataset.observe on the pre-merge leg would be the
-    // pure observe shape, but a CollectMetrics on the non-terminal union
-    // leg never completes its latch inside foreachBatch — the write-plan
-    // observation below is the one that rides the plan.)
-    val qcNullCol =
-      if (events.columns.contains("text"))
-        sum(when(col("op") =!= "D" && col("text").isNull, 1L).otherwise(0L))
-      else sum(lit(0L))
     val head = timed("head-agg")(events.agg(
       count(lit(1)).as("n"),
       max("lsn").as("maxLsn"),
       max("schema_ver").as("maxVer"),
       collect_set(bucketOf(col(keyCols.head), b)).as("touched"),
-      qcNullCol.as("qcNullText"),
       sum(when(col("op") === "D", 1L).otherwise(0L)).as("qcDeletes")).collect()(0))
     val inputEvents = head.getAs[Long]("n")
     if (inputEvents == 0L)
@@ -212,9 +205,20 @@ object MergeApply {
     // analog: *_stats accumulator dicts,
     // Scripts/python/enhanced_main_etl.py:304-309).
     val obs = org.apache.spark.sql.Observation(s"merge-e$epochId-${System.nanoTime()}")
+    // S9 null-payload QC is observed on the RESOLVED rows (live winners
+    // with a null text), not the raw events: observing it pre-merge would
+    // either re-scan the batch's fat payload column in the head agg or
+    // hang a second CollectMetrics on the union leg — and post-resolve is
+    // the level the reference's per-study QC reads anyway
+    // (_load_qc_metrics, Scripts/python/enhanced_main_etl.py:998-1020).
+    val nullTextCol =
+      if (target.fieldNames.contains("text"))
+        sum(when(!col("_deleted") && col("text").isNull, 1L).otherwise(0L))
+      else sum(lit(0L))
     val salted = withBucket
       .observe(obs, count(lit(1)).as("rows"),
-        sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
+        sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"),
+        nullTextCol.as("null_text"))
       .repartition(parts, col("_bucket"),
         pmod(xxhash64(keyCols.map(col): _*), lit(salt)))
     val files = timed("merge-write")(table.writeDataFiles(salted, newVer,
@@ -222,6 +226,7 @@ object MergeApply {
     val observed = obs.get
     val obsRows = observed.get("rows").collect { case x: Long => x }.getOrElse(-1L)
     val obsLive = Option(observed.getOrElse("live", null)).collect { case x: Long => x }.getOrElse(0L)
+    val obsNullText = Option(observed.getOrElse("null_text", null)).collect { case x: Long => x }.getOrElse(0L)
 
     // 5. Atomic fenced commit. Copy-on-write REPLACES the touched buckets'
     //    files; merge-on-read replaces nothing (pure append). Per-file
@@ -246,7 +251,7 @@ object MergeApply {
     BatchStats(epochId, res.applied, res.snapshot.id, inputEvents, newKeys,
       touched.size, newVer, res.snapshot.maxLsn, res.snapshot.rows, elapsedMs(t0),
       observedRows = obsRows, observedLive = obsLive,
-      qcDeletes = head.getAs[Long]("qcDeletes"), qcNullText = head.getAs[Long]("qcNullText"))
+      qcDeletes = head.getAs[Long]("qcDeletes"), qcNullText = obsNullText)
   }
 
   /** Hidden-partitioning bucket expression (Iceberg-style bucket transform). */

@@ -91,12 +91,34 @@ object SimilarityQueries {
       }
     }
 
+  /** Hyperplanes whose components derive from sha256("lsh:p:i"): the first
+    * 13 hex digits as a 52-bit integer v, mapped to v/2^51 - 1 ∈ [-1, 1).
+    * Both steps are exact in IEEE double (v is ≤52 bits; dividing by a
+    * power of two and subtracting 1 stay on the 2^-51 grid), so any engine
+    * with sha256 regenerates the planes bit-identically — DuckDB does, in
+    * the sim2 oracle. Statistically the same uniform planes as [[planes]].
+    */
+  def planesSha(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    def shaHex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        java.lang.Long.parseLong(shaHex(s"lsh:$p:$i").take(13), 16) /
+          (1L << 51).toDouble - 1.0
+      }
+    }
+  }
+
   /** Attach an LSH bit-signature and per-band bucket ids to an embedding
     * column. Bands of `bandBits` bits each → `nPlanes/bandBits` buckets.
+    * `reproducible` swaps the splitmix64 planes for the sha256-derived
+    * ones ([[planesSha]]) so an external oracle can replay the bucketing.
     */
-  def withLshBands(df: DataFrame, embCol: String, nPlanes: Int, bandBits: Int): DataFrame = {
+  def withLshBands(df: DataFrame, embCol: String, nPlanes: Int, bandBits: Int,
+      reproducible: Boolean = false): DataFrame = {
     val dim = 64 // embeddings table vector width
-    val pl = typedlit(planes(nPlanes, dim))
+    val pl = typedlit(if (reproducible) planesSha(nPlanes, dim) else planes(nPlanes, dim))
     val bands = nPlanes / bandBits
     df.withColumn("_planes", pl)
       .withColumn("sig", expr(
@@ -113,8 +135,11 @@ object SimilarityQueries {
     * — implemented as an equi-join on (band, bucket) after exploding each
     * QUERY band into its bucket plus all 1-bit-flip probe buckets
     * (candidate side stays exact, so the index is untouched). Exact cosine
-    * re-rank to top-5. Engine-only (rows-only driver check); recall vs
-    * sim1 is asserted in SimilaritySpec (≥0.8 floor).
+    * re-rank to top-5. Recall vs sim1 is asserted in SimilaritySpec (≥0.8
+    * floor); the catalog entry runs with sha256-derived planes
+    * ([[planesSha]]) so the DuckDB oracle replays the whole pipeline —
+    * planes, signatures, probe buckets, re-rank — and the driver
+    * hash-checks it.
     *
     * Multi-probe is the scale lever: it buys recall without adding hash
     * tables, so the index shuffle stays one (band, bucket) exchange. Band
@@ -124,7 +149,8 @@ object SimilarityQueries {
   private[sim] val sim2 = Q("sim2_lsh_ann",
     (spark, dir) => {
       val bandBits = 4
-      val e = withLshBands(emb(spark, dir), "embedding", nPlanes = 16, bandBits = bandBits)
+      val e = withLshBands(emb(spark, dir), "embedding", nPlanes = 16, bandBits = bandBits,
+        reproducible = true)
         .select(col("vec_id"), col("embedding"), explode(col("bands")).as("bb"))
         .select(col("vec_id"), col("embedding"),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -146,7 +172,53 @@ object SimilarityQueries {
         .select(col("qid"), col("nid"), col("sim"))
         .orderBy("qid", "nid")
     },
-    None)
+    Some(sim2OracleSql))
+
+  /** DuckDB twin of sim2: regenerates the sha256-derived planes
+    * (bit-identical doubles, see [[planesSha]]), recomputes signature bits
+    * and band buckets, explodes the query side into 1-bit-flip probe
+    * buckets, and re-ranks candidates by exact cosine rounded to 4 — the
+    * same rounding contract sim1 uses. Constants mirror the catalog call
+    * (16 planes, 4-bit bands, 30 query vectors, top-5).
+    */
+  private def sim2OracleSql: String =
+    """WITH pl AS (
+         SELECT p, i,
+                CAST(('0x' || substr(sha256('lsh:' || p || ':' || i), 1, 13)) AS BIGINT)
+                  / 2251799813685248.0 - 1.0 AS w
+         FROM generate_series(0, 15) AS gp(p), generate_series(0, 63) AS gi(i)),
+       t AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                    generate_subscripts(embedding, 1) AS pos
+             FROM embeddings),
+       dots AS (SELECT t.vec_id, pl.p, sum(t.v * pl.w) AS dot
+                FROM t JOIN pl ON pl.i = t.pos - 1
+                GROUP BY t.vec_id, pl.p),
+       sig AS (SELECT vec_id,
+                      list(CASE WHEN dot > 0 THEN 1 ELSE 0 END ORDER BY p) AS sig
+               FROM dots GROUP BY vec_id),
+       bands AS (SELECT vec_id, b AS band,
+                        sig[b*4+1]*8 + sig[b*4+2]*4 + sig[b*4+3]*2 + sig[b*4+4] AS bucket
+                 FROM sig, generate_series(0, 3) AS gb(b)),
+       qprobes AS (SELECT vec_id AS qid, band,
+                          unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                                  xor(bucket, 4), xor(bucket, 8)]) AS bucket
+                   FROM bands WHERE vec_id < 30),
+       cand AS (SELECT DISTINCT q.qid, n.vec_id AS nid
+                FROM qprobes q JOIN bands n ON n.band = q.band AND n.bucket = q.bucket
+                WHERE n.vec_id <> q.qid),
+       nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM t GROUP BY vec_id),
+       dsim AS (SELECT c.qid, c.nid, sum(a.v * b.v) AS dot
+                FROM cand c
+                JOIN t a ON a.vec_id = c.qid
+                JOIN t b ON b.vec_id = c.nid AND b.pos = a.pos
+                GROUP BY c.qid, c.nid),
+       sims AS (SELECT qid, nid, round(dot / (na.nrm * nb.nrm), 4) AS sim
+                FROM dsim JOIN nrm na ON na.vec_id = qid
+                          JOIN nrm nb ON nb.vec_id = nid)
+       SELECT qid, nid, sim FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, nid) AS rn FROM sims)
+       WHERE rn <= 5 ORDER BY qid, nid"""
 
   /** D2 ▸ banded MinHash-LSH near-dup candidates over documents: 3-word
     * shingles → 16 minhashes → 4 bands of 4 → bucket-join pairs +
@@ -178,13 +250,16 @@ object SimilarityQueries {
       reproducible: Boolean = false): DataFrame = {
     val bands = nHashes / bandSize
     // Per-permutation shingle hash. Default: xxhash64(s, seed=p) — fast,
-    // codegen'd. Reproducible: 60-bit int from the first 15 hex digits of
-    // sha256("p:" || s) — byte-identical in DuckDB ('0x…'::BIGINT), used
-    // by the driver-checked catalog entry.
+    // codegen'd. Reproducible: 60-bit ints carved out of sha256 hex
+    // digests — byte-identical in DuckDB ('0x…'::BIGINT) — with one digest
+    // feeding FOUR permutations (15 hex digits each), so the sha256 cost
+    // per shingle is nHashes/4 digests, not nHashes. The digests are
+    // materialized as projection columns (`_d<g>`) before the aggregate so
+    // they are computed once per row regardless of codegen subexpression
+    // elimination.
     def permHash(p: Int) =
       if (reproducible)
-        conv(substring(sha2(concat_ws(":", lit(p.toString), col("s")), 256), 1, 15),
-          16, 10).cast("long")
+        conv(substring(col(s"_d${p / 4}"), (p % 4) * 15 + 1, 15), 16, 10).cast("long")
       else xxhash64(col("s"), lit(p))
     // Band bucket identity only needs equality; reproducible mode keeps
     // the raw joined-minhash string (DuckDB: array_to_string of the list
@@ -204,7 +279,13 @@ object SimilarityQueries {
         "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), " +
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) ELSE array(concat_ws(' ', toks)) END"))
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-    val sh = shingleRows
+    val hashInput =
+      if (reproducible)
+        (0 until (nHashes + 3) / 4).foldLeft(shingleRows) { (df, g) =>
+          df.withColumn(s"_d$g", sha2(concat_ws(":", lit(g.toString), col("s")), 256))
+        }
+      else shingleRows
+    val sh = hashInput
       .groupBy(col("doc_id"))
       .agg(array((0 until nHashes).map(p => min(permHash(p))): _*).as("minhashes"))
     val banded = sh.withColumn("bb", expr(
@@ -315,7 +396,8 @@ object SimilarityQueries {
          FROM toks),
        mh AS (
          SELECT doc_id, p,
-            min(CAST(('0x' || substr(sha256(CAST(p AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS h
+            min(CAST(('0x' || substr(sha256(CAST(p // 4 AS VARCHAR) || ':' || s),
+                                     (p % 4) * 15 + 1, 15)) AS BIGINT)) AS h
          FROM sh, generate_series(0, 15) AS g(p)
          GROUP BY doc_id, p),
        sig AS (SELECT doc_id, list(h ORDER BY p) AS minhashes FROM mh GROUP BY doc_id),

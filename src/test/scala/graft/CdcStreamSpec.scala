@@ -155,6 +155,21 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(replayRow(0).getAs[Long]("input_events") > 0)
   }
 
+  test("streamed merge-on-read with periodic delta folding equals oracle") {
+    val base = tmp()
+    val cfg = GenConfig(numConvs = 30, maxTurns = 12, numEvents = 2400)
+    writeEventFiles(cfg, s"$base/events", nFiles = 8)
+    val table = LakeTable.create(spark, s"$base/table", schemaVer = 1, numBuckets = 8)
+    CdcStream.runAvailable(spark, table, s"$base/events", s"$base/cp",
+      StreamConfig(maxFilesPerTrigger = 2,
+        strategy = graft.cdc.WriteStrategy.MergeOnRead, compactEveryEpochs = 2))
+    assert(stateOf(table) == oracleOf(cfg))
+    // 8 files / 2 per trigger = epochs 0..3; folds fire after epochs 1 and
+    // 3, so the final table is fully folded back to base files
+    assert(table.current.files.forall(_.kind == graft.lake.FileEntry.Base))
+    assert(table.current.rows == table.read().count())
+  }
+
   test("A8 observe: merge metrics ride the write plan and match file stats") {
     val base = tmp()
     val cfg = GenConfig(numConvs = 20, maxTurns = 10, numEvents = 1200)

@@ -6,9 +6,10 @@ import graft.sim.SimilarityQueries
 
 /** Recall gate for the approximate-NN path: the LSH-bucketed sim2 must
   * recover a floor fraction of the exact brute-force sim1 top-5 neighbor
-  * sets on the driver testdata embeddings. This is the verification story
-  * for the operator the DuckDB oracle can't express (candidate generation
-  * is hash-bucketed, not SQL-reproducible).
+  * sets on the driver testdata embeddings. The DuckDB oracle checks that
+  * sim2 computes its own pipeline exactly; this spec checks the pipeline
+  * is a GOOD approximation — bucketing that returned junk would still
+  * hash-match its oracle, so recall needs its own gate.
   */
 class SimilaritySpec extends AnyFunSuite {
 
