@@ -55,21 +55,24 @@ object PlanAudit {
       "left anti join" -> (p => p.contains("LeftAnti")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
     // scalar-threshold queries are ONE lazy plan: building the DataFrame
-    // must run zero Spark jobs (a driver-side .head probe would run one —
-    // two scans and two scheduling rounds per query at scale)
+    // must run zero QUERY jobs (a driver-side .head probe would run one —
+    // two scans and two scheduling rounds per query at scale). Spark 4
+    // runs a tiny footer/schema job per read.parquet call ("parquet at
+    // ..."); that is table-open cost, identical for any plan shape, and
+    // excluded from the count.
     Seq("j5_anti_join_dedup", "j6_anti_probe").foreach { name =>
-      var jobs = 0
+      var probeJobs = 0
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobs += 1
+          if (!js.stageInfos.forall(_.name.startsWith("parquet at"))) probeJobs += 1
       }
       spark.sparkContext.addSparkListener(listener)
       SparkEntry.queries(name)(spark, dir) // construction only — no action
       Thread.sleep(300) // listener bus is async; give any job event time to land
       spark.sparkContext.removeSparkListener(listener)
-      val ok = jobs == 0
+      val ok = probeJobs == 0
       if (!ok) failures += 1
-      println(s"[audit] $name :: lazy construction, no driver-side probe jobs -> ${if (ok) "OK" else s"VIOLATED ($jobs jobs)"}")
+      println(s"[audit] $name :: lazy construction, no driver-side probe jobs -> ${if (ok) "OK" else s"VIOLATED ($probeJobs jobs)"}")
     }
     // similarity/near-dup candidate joins must be bucketed equi-joins,
     // never all-pairs
