@@ -80,6 +80,14 @@ object PlanAudit {
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
     audit("sim2_lsh_ann",
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    audit("d5_embedding_dup",
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    // IVF: the ONLY cross join is vectors × broadcast centroids (K rows);
+    // probe→candidate expansion must be an equi-join on cell id
+    audit("sim3_ivf_ann",
+      "centroid build side broadcast" -> (p => p.contains("BroadcastNestedLoopJoin")
+        || p.contains("BroadcastExchange")),
+      "no unbroadcast cartesian" -> (p => !p.contains("CartesianProduct")))
     // top-k must be TakeOrderedAndProject, not a global sort+window
     audit("w1_ranked_topk",
       "take-ordered top-k" -> (_.contains("TakeOrderedAndProject")))

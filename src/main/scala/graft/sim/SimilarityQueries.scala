@@ -417,6 +417,212 @@ object SimilarityQueries {
                FROM withsig, generate_series(1, 16) AS g(i) GROUP BY d1, d2)
        SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY d1, d2"""
 
+  // ---- D5: embedding-cosine near-duplicate detection ----
+
+  /** Deterministic near-dup fixture: every `every`-th vector gets a copy
+    * scaled by 0.5 under a shifted id. Multiplying a float by 0.5 is exact
+    * (exponent decrement), cosine is invariant under positive scaling, and
+    * `sign(w·(x/2)) = sign(w·x)` exactly in IEEE arithmetic — so each
+    * planted copy is byte-different from its source yet *guaranteed* to
+    * share every LSH band bucket with it. This models the real
+    * normalized-duplicate phenomenon (same content, different scale) while
+    * keeping the catalog entry's result fully deterministic.
+    */
+  def withPlantedScaledDups(embeddings: DataFrame, every: Int = 10,
+      idOffset: Long = 100000L): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    base.unionByName(
+      base.filter(col("vec_id") % every === 0)
+        .select((col("vec_id") + idOffset).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT))")
+            .as("embedding")))
+  }
+
+  /** Near-duplicate pairs by embedding cosine: random-hyperplane LSH
+    * bucketing (same index machinery as sim2) generates candidates, exact
+    * cosine ≥ `minCosine` verifies them. Output is dedup-shaped:
+    * `(keep_id, dup_id, sim)` with `keep_id < dup_id` — the survivor is the
+    * smaller id, matching d1's min-id convention.
+    *
+    * Scale shape: candidates come from a (band, bucket) equi-join — never
+    * all-pairs — with the d2/d3 frequent-bucket skip (`maxBucketSize`), and
+    * the pair distinct runs on bare ids before vectors are joined back, so
+    * the shuffle never carries embedding payloads.
+    */
+  def embeddingDupPairs(corpus: DataFrame, minCosine: Double,
+      nPlanes: Int = 16, bandBits: Int = 4, maxBucketSize: Int = 64,
+      reproducible: Boolean = false): DataFrame = {
+    val banded = withLshBands(corpus, "embedding", nPlanes, bandBits, reproducible)
+      .select(col("vec_id"), explode(col("bands")).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val small = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val kept = banded.join(small, Seq("band", "bucket"))
+    val cand = kept.as("a")
+      .join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"))
+      .distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("keep_id"), col("embedding").as("v1")), "keep_id")
+      .join(corpus.select(col("vec_id").as("dup_id"), col("embedding").as("v2")), "dup_id")
+      .withColumn("sim", round(dotD("v1", "v2") / (normD("v1") * normD("v2")), 4))
+      .filter(col("sim") >= minCosine)
+      .select(col("keep_id"), col("dup_id"), col("sim"))
+      .orderBy("keep_id", "dup_id")
+  }
+
+  /** D5 ▸ embedding-cosine near-dup over the embeddings table with planted
+    * scaled-copy duplicates (the testdata has no natural pair above cosine
+    * 0.52, so the fixture plants byte-different cosine-1.0 copies — see
+    * [[withPlantedScaledDups]]). Runs with sha256-derived planes so the
+    * DuckDB oracle replays the whole pipeline — planting, bucketing,
+    * hot-bucket skip, verify — and the driver hash-checks it.
+    */
+  private[sim] val d5 = Q("d5_embedding_dup",
+    (spark, dir) => embeddingDupPairs(withPlantedScaledDups(emb(spark, dir)),
+      minCosine = 0.99, reproducible = true),
+    Some(d5OracleSql))
+
+  /** DuckDB twin of d5: replant the scaled copies, regenerate the sha256
+    * planes/signatures/band buckets (bit-identical, see [[planesSha]]),
+    * apply the same hot-bucket skip, verify candidates at cosine ≥ 0.99
+    * rounded to 4 — the full pipeline, not just the expected answer.
+    */
+  private def d5OracleSql: String =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       corpus AS (
+         SELECT vec_id, embedding FROM base
+         UNION ALL
+         SELECT vec_id + 100000,
+                list_transform(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT))
+         FROM base WHERE vec_id % 10 = 0),
+       pl AS (
+         SELECT p, i,
+                CAST(('0x' || substr(sha256('lsh:' || p || ':' || i), 1, 13)) AS BIGINT)
+                  / 2251799813685248.0 - 1.0 AS w
+         FROM generate_series(0, 15) AS gp(p), generate_series(0, 63) AS gi(i)),
+       t AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                    generate_subscripts(embedding, 1) AS pos
+             FROM corpus),
+       dots AS (SELECT t.vec_id, pl.p, sum(t.v * pl.w) AS dot
+                FROM t JOIN pl ON pl.i = t.pos - 1
+                GROUP BY t.vec_id, pl.p),
+       sig AS (SELECT vec_id,
+                      list(CASE WHEN dot > 0 THEN 1 ELSE 0 END ORDER BY p) AS sig
+               FROM dots GROUP BY vec_id),
+       bands AS (SELECT vec_id, b AS band,
+                        sig[b*4+1]*8 + sig[b*4+2]*4 + sig[b*4+3]*2 + sig[b*4+4] AS bucket
+                 FROM sig, generate_series(0, 3) AS gb(b)),
+       small AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+                 HAVING count(*) <= 64),
+       kept AS (SELECT b.* FROM bands b JOIN small USING (band, bucket)),
+       cand AS (SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+                FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.vec_id < b.vec_id),
+       nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM t GROUP BY vec_id),
+       dsim AS (SELECT c.keep_id, c.dup_id, sum(a.v * b.v) AS dot
+                FROM cand c
+                JOIN t a ON a.vec_id = c.keep_id
+                JOIN t b ON b.vec_id = c.dup_id AND b.pos = a.pos
+                GROUP BY c.keep_id, c.dup_id),
+       sims AS (SELECT keep_id, dup_id, round(dot / (na.nrm * nb.nrm), 4) AS sim
+                FROM dsim JOIN nrm na ON na.vec_id = keep_id
+                          JOIN nrm nb ON nb.vec_id = dup_id)
+       SELECT keep_id, dup_id, sim FROM sims WHERE sim >= 0.99
+       ORDER BY keep_id, dup_id"""
+
+  // ---- SIM3: IVF-flat approximate nearest neighbor ----
+
+  /** SIM3 ▸ IVF-flat ANN — the coarse-quantizer scale path beside sim2's
+    * LSH: every vector is assigned to its nearest centroid cell (inverted
+    * lists), a query probes its `nprobe` nearest cells and exact-reranks
+    * only those cells' members. Centroids are sampled deterministically
+    * (every 25th vec_id — sampling-based centroid init, no Lloyd
+    * iterations, so the whole operator is replayable in SQL; iterative
+    * k-means would make centroids depend on float summation order across
+    * partitions and break cross-engine determinism).
+    *
+    * Scale shape: K ~ √N centroids broadcast to every task (one narrow
+    * cross join against a K-row build side — no N×N anything), assignment
+    * is a single window per vector, and probe→candidates is an equi-join
+    * on cell id. Candidate count ≈ nprobe/K of the corpus per query.
+    * Cell ranking uses ROUNDED cosine (4dp) with centroid-id tiebreak so
+    * the probe set is stable under last-ulp summation differences.
+    *
+    * Honest recall note: the driver testdata embeddings are isotropic
+    * (within-label mean cosine 0.002 — no directional clusters), and on
+    * isotropic data ANY cell-partitioned ANN recalls ≈ the probed cell
+    * fraction. The catalog entry therefore probes 8 of 20 cells (measured
+    * recall ~0.73 vs sim1's exact top-5; SimilaritySpec gates ≥ 0.6). On
+    * a real clustered corpus the same operator runs K ~ √N, nprobe ≪ K —
+    * the probe fraction, not the mechanics, is what changes.
+    */
+  private[sim] val sim3 = Q("sim3_ivf_ann",
+    (spark, dir) => {
+      val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val ranked = e.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          round(dotD("embedding", "cv") / (normD("embedding") * normD("cv")), 4))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)))
+      val assign = ranked.filter(col("crn") === 1)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cid"))
+      val probes = ranked.filter(col("vec_id") < 30 && col("crn") <= 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid"))
+      // Each vector lives in exactly one cell and a query's probe cells are
+      // distinct, so (qid, nid) pairs are already unique — no distinct.
+      val cand = probes.join(assign, "cid").filter(col("qid") =!= col("nid"))
+      val sims = cand
+        .withColumn("sim", round(dotD("qv", "nv") / (normD("qv") * normD("nv")), 4))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("nid"), col("sim"))
+        .orderBy("qid", "nid")
+    },
+    Some(sim3OracleSql))
+
+  /** DuckDB twin of sim3: same sampled centroids, same rounded-cosine cell
+    * ranking with centroid-id tiebreak, same nprobe=3 probe set, same
+    * exact rerank to top-5. Constants mirror the catalog call.
+    */
+  private def sim3OracleSql: String =
+    """WITH t AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                         generate_subscripts(embedding, 1) AS pos
+                  FROM embeddings),
+       nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM t GROUP BY vec_id),
+       cdots AS (SELECT a.vec_id, b.vec_id AS cid, sum(a.v * b.v) AS dot
+                 FROM t a JOIN t b ON b.pos = a.pos AND b.vec_id % 25 = 0
+                 GROUP BY a.vec_id, b.vec_id),
+       ranked AS (SELECT cdots.vec_id, cid,
+                         row_number() OVER (PARTITION BY cdots.vec_id
+                           ORDER BY round(dot / (na.nrm * nc.nrm), 4) DESC, cid) AS crn
+                  FROM cdots JOIN nrm na ON na.vec_id = cdots.vec_id
+                             JOIN nrm nc ON nc.vec_id = cid),
+       assign AS (SELECT vec_id AS nid, cid FROM ranked WHERE crn = 1),
+       probes AS (SELECT vec_id AS qid, cid FROM ranked
+                  WHERE vec_id < 30 AND crn <= 8),
+       cand AS (SELECT qid, nid FROM probes JOIN assign USING (cid)
+                WHERE nid <> qid),
+       dsim AS (SELECT c.qid, c.nid, sum(a.v * b.v) AS dot
+                FROM cand c
+                JOIN t a ON a.vec_id = c.qid
+                JOIN t b ON b.vec_id = c.nid AND b.pos = a.pos
+                GROUP BY c.qid, c.nid),
+       sims AS (SELECT qid, nid, round(dot / (na.nrm * nb.nrm), 4) AS sim
+                FROM dsim JOIN nrm na ON na.vec_id = qid
+                          JOIN nrm nb ON nb.vec_id = nid)
+       SELECT qid, nid, sim FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, nid) AS rn FROM sims)
+       WHERE rn <= 5 ORDER BY qid, nid"""
+
   /** DuckDB twin of d3, generated (63 conditional-sum columns). */
   private def d3OracleSql: String = {
     val inList = hexHigh.map(h => s"'$h'").mkString(", ")
@@ -443,5 +649,5 @@ object SimilarityQueries {
         ORDER BY d1, d2"""
   }
 
-  val all: Seq[Q] = Seq(sim1, sim2, d2, d3)
+  val all: Seq[Q] = Seq(sim1, sim2, sim3, d2, d3, d5)
 }

@@ -214,5 +214,39 @@ object TextQueries {
             md5(text) AS payload_md5
             FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(d1, d4, lang, qual, tok, fp, mm1)
+  /** MM2 ▸ frame-sampling plumbing for video-style payloads: each document
+    * is treated as a fixed-stride frame sequence (64-char frames, capped at
+    * 8 frames per row — the `maxFramesPerVideo` knob of a real sampler), a
+    * generator explodes one row per sampled frame, and the per-frame
+    * "decode" is a deterministic digest stand-in (no codecs in this
+    * container — see [[graft.multimodal.BinaryPipeline]] for the batched
+    * binary-decode architecture this feeds).
+    *
+    * Scale shape: row explosion is bounded (≤8× fan-out), everything is
+    * codegen'd builtins, and the frame rows carry fixed-width columns only
+    * — the variable-size payload never survives past the generator.
+    */
+  private val mm2 = Q("mm2_frame_sample",
+    (spark, dir) =>
+      docs(spark, dir)
+        .withColumn("n_frames",
+          greatest(least(ceil(length(col("text")) / lit(64.0)).cast("int"), lit(8)), lit(1)))
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
+        .withColumn("frame", expr("substr(text, frame_idx * 64 + 1, 64)"))
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("int").as("frame_len"),
+          md5(encode(col("frame"), "UTF-8")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx"),
+    Some("""SELECT doc_id, frame_idx, CAST(length(frame) AS INTEGER) AS frame_len,
+            md5(frame) AS frame_md5
+            FROM (SELECT doc_id, frame_idx, substr(text, frame_idx * 64 + 1, 64) AS frame
+                  FROM (SELECT doc_id, text,
+                          unnest(range(0, greatest(least(
+                            CAST(ceil(length(text) / 64.0) AS INTEGER), 8), 1)))
+                            AS frame_idx
+                        FROM documents))
+            ORDER BY doc_id, frame_idx"""))
+
+  val all: Seq[Q] = Seq(d1, d4, lang, qual, tok, fp, mm1, mm2)
 }

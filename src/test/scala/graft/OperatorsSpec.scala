@@ -67,6 +67,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((3L, 100L)), s"planted near-dup not bucketed together: $pairs")
   }
 
+  // ---- embedding-cosine near-dup (planted scaled copies) ----
+
+  test("embedding near-dup finds every planted scaled copy and nothing else") {
+    import spark.implicits._
+    // seeded gaussians: cross-pair cosine concentrates near 0 in 64-d, so
+    // the only pairs above 0.99 are the planted scaled copies
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      (0 until 64).map(_ => r.nextGaussian().toFloat)
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val corpus = SimilarityQueries.withPlantedScaledDups(base, every = 10)
+    val pairs = SimilarityQueries.embeddingDupPairs(corpus, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = Set(0L, 10L, 20L, 30L).map(i => (i, i + 100000L))
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected,
+      s"pairs: ${pairs.mkString(",")}")
+    // a scaled copy is cosine-identical to its source
+    assert(pairs.forall(_._3 == 1.0))
+  }
+
+  // ---- frame sampling fan-out ----
+
+  test("frame sampling: bounded fan-out, full-stride frames, deterministic digests") {
+    val frames = SparkEntry.queries("mm2_frame_sample")(spark, sf).collect()
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.forall { case (_, fs) => fs.length >= 1 && fs.length <= 8 })
+    // frame indices are contiguous from 0 and every non-final frame is full
+    byDoc.foreach { case (doc, fs) =>
+      val sorted = fs.sortBy(_.getAs[Int]("frame_idx"))
+      assert(sorted.map(_.getAs[Int]("frame_idx")).toSeq == (0 until fs.length))
+      sorted.dropRight(1).foreach(f => assert(f.getAs[Int]("frame_len") == 64,
+        s"doc $doc short mid-frame"))
+      assert(sorted.last.getAs[Int]("frame_len") <= 64)
+    }
+    assert(frames.forall(_.getAs[String]("frame_md5").length == 32))
+  }
+
   // ---- multimodal binary plumbing ----
 
   test("binary decode pipeline: deterministic features, kind-dependent channels") {

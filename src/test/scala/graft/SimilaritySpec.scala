@@ -24,14 +24,30 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
   }
 
-  test("sim2 LSH ANN recall >= 0.8 of sim1 exact top-5") {
+  private def recallVsExact(name: String): Double = {
     val exact = topk("sim1_cosine_topk")
-    val approx = topk("sim2_lsh_ann")
+    val approx = topk(name)
     assert(exact.nonEmpty)
     val (hit, total) = exact.foldLeft((0, 0)) { case ((h, t), (qid, nbrs)) =>
       (h + approx.getOrElse(qid, Set.empty).intersect(nbrs).size, t + nbrs.size)
     }
-    val recall = hit.toDouble / total
-    assert(recall >= 0.8, f"sim2 recall $recall%.3f < 0.8 ($hit/$total)")
+    hit.toDouble / total
+  }
+
+  test("sim2 LSH ANN recall >= 0.8 of sim1 exact top-5") {
+    val recall = recallVsExact("sim2_lsh_ann")
+    assert(recall >= 0.8, f"sim2 recall $recall%.3f < 0.8")
+  }
+
+  /** Floor 0.6, not 0.8: the testdata embeddings are isotropic (no
+    * directional clusters — within-label mean cosine ≈ 0.002), and on
+    * isotropic data a cell-partitioned ANN recalls ≈ the probed cell
+    * fraction (8/20 here) plus the rerank's margin. The gate catches a
+    * broken probe/assign pipeline (which craters to ≈0), not the
+    * data-dependent ceiling.
+    */
+  test("sim3 IVF ANN recall >= 0.6 of sim1 exact top-5") {
+    val recall = recallVsExact("sim3_ivf_ann")
+    assert(recall >= 0.6, f"sim3 recall $recall%.3f < 0.6")
   }
 }
