@@ -88,6 +88,15 @@ object PlanAudit {
       "centroid build side broadcast" -> (p => p.contains("BroadcastNestedLoopJoin")
         || p.contains("BroadcastExchange")),
       "no unbroadcast cartesian" -> (p => !p.contains("CartesianProduct")))
+    // windowed event agg: partial agg before the shuffle (state per open
+    // window x type, not per event)
+    audit("st1_window_agg",
+      "partial aggregation" -> (_.contains("partial_count")))
+    // sessionize: lag + running sum + group-agg all ride ONE user_id
+    // hash exchange (plus the final presentation orderBy's range exchange)
+    audit("st2_sessionize",
+      "single user_id shuffle for the window chain" ->
+        (p => "hashpartitioning\\(user_id".r.findAllIn(p).size <= 1))
     // top-k must be TakeOrderedAndProject, not a global sort+window
     audit("w1_ranked_topk",
       "take-ordered top-k" -> (_.contains("TakeOrderedAndProject")))

@@ -22,7 +22,8 @@ object SparkEntry {
 
   private val catalog = RelationalQueries.all ++ TextQueries.all ++
     SimilarityQueries.all ++ graft.sources.JsonMetadata.all ++
-    graft.analytics.IncrementalStats.all ++ graft.cdc.Scd2History.all
+    graft.analytics.IncrementalStats.all ++ graft.cdc.Scd2History.all ++
+    graft.streaming.StreamAnalytics.all
 
   /** Flagship: end-to-end CDC replay — generate a deterministic change
     * stream, merge-apply it into a fresh lake table in 3 epochs (schema
