@@ -11,10 +11,14 @@ object DebugD2 {
       val t0 = System.nanoTime(); val r = f
       println(f"[d2] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    time("minhashPairs")(
-      println("pairs=" + graft.sim.SimilarityQueries.minhashPairs(docs, 0.5).count()))
-    time("minhashPairs again")(
+    // warmup
+    time("warmup xxhash")(
       graft.sim.SimilarityQueries.minhashPairs(docs, 0.5).count())
+    time("production (xxhash64)")(
+      println("pairs=" + graft.sim.SimilarityQueries.minhashPairs(docs, 0.5).count()))
+    time("reproducible (sha256)")(
+      println("pairs=" + graft.sim.SimilarityQueries
+        .minhashPairs(docs, 0.5, reproducible = true).count()))
     time("simhash")(
       println("simhash=" + graft.sim.SimilarityQueries.simhash(docs).count()))
     spark.stop()

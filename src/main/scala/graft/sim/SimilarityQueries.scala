@@ -223,10 +223,10 @@ object SimilarityQueries {
   /** D2 ▸ banded MinHash-LSH near-dup candidates over documents: 3-word
     * shingles → 16 minhashes → 4 bands of 4 → bucket-join pairs +
     * estimated Jaccard (fraction of matching minhashes). The catalog entry
-    * runs in `reproducible = true` mode (sha256-derived 60-bit hashes,
-    * string band buckets) so DuckDB can replay the exact pipeline and the
-    * driver hash-checks it; production callers keep the default xxhash64
-    * mode (same algorithm, cheaper hash).
+    * runs in `reproducible = true` mode (sha256-derived 32-bit hex-string
+    * hashes, string band buckets) so DuckDB can replay the exact pipeline
+    * and the driver hash-checks it; production callers keep the default
+    * xxhash64 mode (same algorithm, cheaper hash).
     */
   private[sim] val d2 = Q("d2_minhash_lsh",
     (spark, dir) => minhashPairs(docs(spark, dir), minJaccardEst = 0.5,
@@ -250,16 +250,19 @@ object SimilarityQueries {
       reproducible: Boolean = false): DataFrame = {
     val bands = nHashes / bandSize
     // Per-permutation shingle hash. Default: xxhash64(s, seed=p) — fast,
-    // codegen'd. Reproducible: 60-bit ints carved out of sha256 hex
-    // digests — byte-identical in DuckDB ('0x…'::BIGINT) — with one digest
-    // feeding FOUR permutations (15 hex digits each), so the sha256 cost
-    // per shingle is nHashes/4 digests, not nHashes. The digests are
+    // codegen'd. Reproducible: 8-hex-digit (32-bit) slices of sha256 hex
+    // digests kept AS STRINGS — fixed-width lowercase hex makes
+    // lexicographic min ≡ numeric min, so no per-row parse is needed
+    // (a conv(...,16,10) per permutation per shingle row measured ~2× on
+    // the whole pipeline), minhash equality/banding only ever needs
+    // equality, and DuckDB replays `min(substr(sha256(...)))`
+    // byte-identically. One digest feeds EIGHT permutations, so the
+    // sha256 cost per shingle is nHashes/8 digests. The digests are
     // materialized as projection columns (`_d<g>`) before the aggregate so
     // they are computed once per row regardless of codegen subexpression
     // elimination.
     def permHash(p: Int) =
-      if (reproducible)
-        conv(substring(col(s"_d${p / 4}"), (p % 4) * 15 + 1, 15), 16, 10).cast("long")
+      if (reproducible) substring(col(s"_d${p / 8}"), (p % 8) * 8 + 1, 8)
       else xxhash64(col("s"), lit(p))
     // Band bucket identity only needs equality; reproducible mode keeps
     // the raw joined-minhash string (DuckDB: array_to_string of the list
@@ -281,7 +284,7 @@ object SimilarityQueries {
       .select(col("doc_id"), explode(col("shingles")).as("s"))
     val hashInput =
       if (reproducible)
-        (0 until (nHashes + 3) / 4).foldLeft(shingleRows) { (df, g) =>
+        (0 until (nHashes + 7) / 8).foldLeft(shingleRows) { (df, g) =>
           df.withColumn(s"_d$g", sha2(concat_ws(":", lit(g.toString), col("s")), 256))
         }
       else shingleRows
@@ -379,8 +382,9 @@ object SimilarityQueries {
   }
 
   /** DuckDB twin of d2 in reproducible mode: same shingling, same
-    * sha256-derived per-permutation hashes ('0x…'::BIGINT ≡ Spark
-    * conv(…,16,10)), same string band buckets, same hot-bucket skip and
+    * sha256-derived per-permutation 8-hex-digit string hashes (min over
+    * fixed-width lowercase hex ≡ numeric min in both engines' binary
+    * collation), same string band buckets, same hot-bucket skip and
     * signature-match Jaccard estimate. Constants mirror the catalog call
     * (16 hashes, 4×4 bands, maxBucketSize 64, est ≥ 0.5).
     */
@@ -396,8 +400,8 @@ object SimilarityQueries {
          FROM toks),
        mh AS (
          SELECT doc_id, p,
-            min(CAST(('0x' || substr(sha256(CAST(p // 4 AS VARCHAR) || ':' || s),
-                                     (p % 4) * 15 + 1, 15)) AS BIGINT)) AS h
+            min(substr(sha256(CAST(p // 8 AS VARCHAR) || ':' || s),
+                       (p % 8) * 8 + 1, 8)) AS h
          FROM sh, generate_series(0, 15) AS g(p)
          GROUP BY doc_id, p),
        sig AS (SELECT doc_id, list(h ORDER BY p) AS minhashes FROM mh GROUP BY doc_id),
