@@ -55,17 +55,32 @@ object IncrementalStats {
       sum(col("w") * col("theta") * col("theta")).as("st2"))
 
   /** MERGE-ADD one delta batch into the stats table. Exactly-once via the
-    * table's epoch fence; copy-on-write touches only buckets whose groups
-    * appear in the batch. Returns false when fenced or empty.
+    * table's PER-WRITER epoch fence plus a batch content hash: merge-ADD is
+    * NOT idempotent under re-apply (unlike the transcript LWW merge), so a
+    * stream restarted with a fresh checkpoint — new writerId, epochs back
+    * at 0 — must neither be silently fenced (data loss) nor double-add its
+    * re-delivered batches (double count). The writer-scoped fence admits
+    * the new writer; the content hash (order-independent sum of per-row
+    * xxhash64 over the delta, computed inside the same head aggregate)
+    * skips exactly the batches whose content was already applied —
+    * reference analog: content-hash `batch_id` idempotent loads
+    * (Docs/etl_requirements_reviewed_by_sr.md:162-165). Copy-on-write
+    * touches only buckets whose groups appear in the batch. Returns false
+    * when fenced or empty.
     */
-  def applyBatch(table: LakeTable, delta: DataFrame, epochId: Long): Boolean = {
+  def applyBatch(table: LakeTable, delta: DataFrame, epochId: Long,
+      writerId: String = ""): Boolean = {
     val cur = table.current
-    if (epochId >= 0 && cur.epochId >= epochId) return false
+    if (table.fenced(cur, epochId, writerId)) return false
     val b = cur.numBuckets
     val head = delta.agg(
       count(lit(1)).as("n"),
-      collect_set(MergeApply.bucketOf(col("group_key"), b)).as("touched")).collect()(0)
+      collect_set(MergeApply.bucketOf(col("group_key"), b)).as("touched"),
+      LakeTable.batchContentHash(Seq(col("group_key"), col("k"), col("s1"),
+        col("s2"), col("st"), col("st2"))).as("bh")).collect()(0)
     if (head.getAs[Long]("n") == 0L) return false
+    val batchHash = head.getAs[Long]("bh")
+    if (cur.batchHashes.contains(batchHash)) return false
     val touched: Set[Int] = head.getAs[Seq[Int]]("touched").toSet
 
     val current = table.readConformed(cur, Some(touched))
@@ -83,7 +98,8 @@ object IncrementalStats {
     val newLive = files.map(_.live).sum
     val oldLive = cur.files.filter(f => touched.contains(f.bucket)).map(_.live).sum
     table.commit(files, touched, epochId, schemaVer = 1,
-      rowDelta = newLive - oldLive, maxLsnSeen = epochId).applied
+      rowDelta = newLive - oldLive, maxLsnSeen = epochId,
+      writerId = writerId, batchHash = Some(batchHash)).applied
   }
 
   /** Pooled DerSimonian–Laird columns from the stored state — identical

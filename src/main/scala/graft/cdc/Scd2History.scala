@@ -52,16 +52,30 @@ object Scd2History {
       registry = Map(1 -> schemaFor(cfg, input)),
       keyCols = cfg.keyCols :+ "effective_from")
 
-  /** Apply one batch of change records. Returns false when fenced/empty. */
-  def applyBatch(table: LakeTable, cfg: Scd2Config, batch: DataFrame, epochId: Long): Boolean = {
+  /** Apply one batch of change records. Returns false when fenced/empty.
+    *
+    * Exactly-once: close-out+insert is NOT idempotent under re-apply (the
+    * re-applied batch would close the versions it itself inserted), so the
+    * fence is the table's PER-WRITER epoch watermark plus a batch content
+    * hash — a stream restarted with a fresh checkpoint (new writerId,
+    * epochs back at 0) is neither silently fenced nor double-applied
+    * (reference analog: content-hash `batch_id` idempotent loads,
+    * Docs/etl_requirements_reviewed_by_sr.md:162-165).
+    */
+  def applyBatch(table: LakeTable, cfg: Scd2Config, batch: DataFrame, epochId: Long,
+      writerId: String = ""): Boolean = {
     val cur = table.current
-    if (epochId >= 0 && cur.epochId >= epochId) return false
+    if (table.fenced(cur, epochId, writerId)) return false
     val b = cur.numBuckets
     val keyC = cfg.keyCols.map(col)
     val head = batch.agg(
       count(lit(1)).as("n"),
-      collect_set(MergeApply.bucketOf(col(cfg.keyCols.head), b)).as("touched")).collect()(0)
+      collect_set(MergeApply.bucketOf(col(cfg.keyCols.head), b)).as("touched"),
+      LakeTable.batchContentHash((cfg.keyCols ++ cfg.payloadCols :+ cfg.ordCol).map(col)).as("bh"))
+      .collect()(0)
     if (head.getAs[Long]("n") == 0L) return false
+    val batchHash = head.getAs[Long]("bh")
+    if (cur.batchHashes.contains(batchHash)) return false
     val touched: Set[Int] = head.getAs[Seq[Int]]("touched").toSet
 
     // 1. incoming versions: each record opens a version, closed within the
@@ -74,13 +88,18 @@ object Scd2History {
         lead(col(cfg.ordCol), 1).over(w).isNull.as("is_active")): _*)
 
     // 2. close-out: stored active rows of keys in this batch get closed at
-    //    the key's first ord (broadcast: one row per touched key).
+    //    the key's first ord. One row per touched key, but deliberately NO
+    //    broadcast hint: a micro-batch touching 10^8 keys would blow the
+    //    8 GB broadcast ceiling / driver memory — AQE picks broadcast
+    //    itself whenever the aggregated build side is actually small, and
+    //    degrades to a shuffle join (both sides already hash on the key)
+    //    when it is not.
     val firstOrd = batch.groupBy(keyC: _*)
       .agg(min(col(cfg.ordCol)).cast(LongType).as("_close_at"))
     val current = table.readConformed(cur, Some(touched))
       .select((cfg.keyCols ++ cfg.payloadCols ++
         Seq("effective_from", "effective_to", "is_active")).map(col): _*)
-    val closed = current.join(broadcast(firstOrd), cfg.keyCols, "left")
+    val closed = current.join(firstOrd, cfg.keyCols, "left")
       .withColumn("effective_to",
         when(col("is_active") && col("_close_at").isNotNull, col("_close_at"))
           .otherwise(col("effective_to")))
@@ -97,7 +116,8 @@ object Scd2History {
     val newLive = files.map(_.live).sum
     val oldLive = cur.files.filter(f => touched.contains(f.bucket)).map(_.live).sum
     table.commit(files, touched, epochId, schemaVer = 1,
-      rowDelta = newLive - oldLive, maxLsnSeen = epochId).applied
+      rowDelta = newLive - oldLive, maxLsnSeen = epochId,
+      writerId = writerId, batchHash = Some(batchHash)).applied
   }
 
   /** Driver catalog entry: build the SCD2 history of the events table

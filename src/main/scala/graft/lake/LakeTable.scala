@@ -51,6 +51,24 @@ object FileEntry {
   *                  stats, persisted IN the manifest so per-epoch metrics
   *                  can be re-derived idempotently after a crash between
   *                  commit and metrics write (exactly-once observability)
+  * @param writerEpochs per-writer applied-epoch high-watermark. The single
+  *                  (writerId, epochId) pair forgets writer A's watermark
+  *                  the moment writer B commits; the map keeps every
+  *                  writer's fence alive, so interleaved / hand-over
+  *                  writers cannot replay each other's window. Epochs per
+  *                  writer are monotonic (Structured Streaming retries an
+  *                  epoch, never skips one), so a watermark IS the full
+  *                  applied set.
+  * @param batchHashes content hashes of recently applied batches, for
+  *                  merge kernels that are NOT idempotent under re-apply
+  *                  (ADD-merge stats, SCD2 close-out+insert): a fresh
+  *                  checkpoint restarts epochs at 0 under a NEW writerId,
+  *                  so the epoch fence alone would re-apply — the content
+  *                  hash catches the re-delivered batch (reference analog:
+  *                  content-hash `batch_id` idempotent loads,
+  *                  Docs/etl_requirements_reviewed_by_sr.md:162-165).
+  *                  FIFO-capped: the redelivery window after a checkpoint
+  *                  swap is bounded, so only recent hashes matter.
   */
 final case class Snapshot(
     id: Long,
@@ -64,7 +82,9 @@ final case class Snapshot(
     writerId: String = "",
     inputEvents: Long = -1L,
     dedupedKeys: Long = -1L,
-    mergeMs: Long = -1L)
+    mergeMs: Long = -1L,
+    writerEpochs: Map[String, Long] = Map.empty,
+    batchHashes: Seq[Long] = Nil)
 
 /** Result of a commit attempt: either applied (new snapshot) or fenced
   * (this epoch was already committed — idempotent replay no-op).
@@ -231,9 +251,11 @@ final class LakeTable(
       writerId: String = "",
       inputEvents: Long = -1L,
       dedupedKeys: Long = -1L,
-      mergeMs: Long = -1L): CommitResult = synchronized {
+      mergeMs: Long = -1L,
+      batchHash: Option[Long] = None): CommitResult = synchronized {
     val cur = current
     if (fenced(cur, epochId, writerId)) return CommitResult(cur, applied = false)
+    if (batchHash.exists(cur.batchHashes.contains)) return CommitResult(cur, applied = false)
     val kept = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
     val allFiles = kept ++ newFiles
     // Live-row count is exact from manifest stats while the one-version-
@@ -257,7 +279,13 @@ final class LakeTable(
       writerId = if (epochId >= 0) writerId else cur.writerId,
       inputEvents = inputEvents,
       dedupedKeys = dedupedKeys,
-      mergeMs = mergeMs)
+      mergeMs = mergeMs,
+      writerEpochs =
+        if (epochId >= 0)
+          cur.writerEpochs.updated(writerId,
+            math.max(epochId, cur.writerEpochs.getOrElse(writerId, -1L)))
+        else cur.writerEpochs,
+      batchHashes = (cur.batchHashes ++ batchHash).takeRight(maxBatchHashes))
     writeManifest(fs, snapPath(snap.id), snap)
     swapCurrent(snap.id)
     CommitResult(snap, applied = true)
@@ -266,10 +294,14 @@ final class LakeTable(
   /** Epoch fence, scoped per writer identity: a commit is a replay no-op
     * only when the SAME writer already committed this epoch or a later one.
     * A different writer (fresh checkpoint — its epochIds restart at 0)
-    * legitimately re-applies; the LWW merge makes that row-level idempotent.
+    * legitimately re-applies; the LWW merge makes that row-level idempotent
+    * (non-idempotent kernels additionally pass a content `batchHash` to
+    * [[commit]]). The per-writer watermark map keeps EVERY writer's fence
+    * alive across hand-overs (the last-writer-only pair would forget it).
     */
   def fenced(cur: Snapshot, epochId: Long, writerId: String): Boolean =
-    epochId >= 0 && cur.writerId == writerId && cur.epochId >= epochId
+    epochId >= 0 && (cur.writerEpochs.get(writerId).exists(_ >= epochId) ||
+      (cur.writerId == writerId && cur.epochId >= epochId))
 
   private def swapCurrent(id: Long): Unit = {
     val tmp = new Path(metaDir, s"._current.tmp-$id")
@@ -286,40 +318,93 @@ final class LakeTable(
     * sorted by (conv_id, turn_idx) so turn-ordered reads stay fast and
     * parquet min/max stats stay tight (north rule: sort-order maintenance).
     *
-    * Per-file row/live-row counts are collected in one footer-cheap pass
-    * and recorded in the manifest — they make later merge commits'
-    * row-delta accounting a driver-side sum instead of a rescan.
+    * Per-file row/live-row counts come from PARQUET FOOTER METADATA, not a
+    * second Spark job: a write-only nullable `_live` marker column (null ⟺
+    * tombstone) makes each file's live count `rows − nullCount(_live)`,
+    * both of which the footer records per row group — so manifest stats
+    * cost O(files) driver-side footer reads (parallelized, ~1 ms each)
+    * instead of a per-epoch scheduling round + rescan of the just-written
+    * data. That rescan was 1-2 s of SERIAL driver time per epoch — fixed
+    * cost that directly capped N→4N scaling efficiency. `_live` is never
+    * part of the table's physical schema: reads pass an explicit schema,
+    * so the extra column is pruned at scan time and costs ~1 bit/row RLE
+    * on disk.
     */
   def writeDataFiles(df: DataFrame, schemaVer: Int,
       kind: String = FileEntry.Base): Seq[FileEntry] = {
     val dir = new Path(new Path(rootPath, "data"),
       s"c${System.currentTimeMillis()}-${java.util.UUID.randomUUID.toString.take(8)}")
     graft.cdc.MergeApply.timed("merge-write-files")(
-      df.sortWithinPartitions("_bucket", keyCols: _*)
+      df.withColumn("_live",
+          when(col("_deleted"), lit(null).cast(BooleanType)).otherwise(lit(true)))
+        .sortWithinPartitions("_bucket", keyCols: _*)
         .write.partitionBy("_bucket").mode("overwrite").parquet(dir.toString))
-    // Manifest entries come straight out of ONE stats pass over the commit
-    // directory (single tree listing via partition discovery). An explicit
-    // per-file path list here would cost a getFileStatus round trip PER
-    // FILE on open — measured 1-2 s of serial driver time per epoch at 256
-    // files, pure fixed cost that breaks N→4N scaling.
-    graft.cdc.MergeApply.timed("file-stats") {
-      val statRows =
-        try spark.read.parquet(dir.toString)
-          .select(input_file_name().as("f"), col("_bucket"), col("_deleted"))
-          .groupBy(col("f"), col("_bucket"))
-          .agg(count(lit(1)).as("n"), sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
-          .collect()
-        catch { case _: org.apache.spark.sql.AnalysisException => Array.empty[org.apache.spark.sql.Row] }
-      statRows.toSeq.map { r =>
-        // Path.toString canonicalizes the file:///-form URI from
-        // input_file_name to the file:/-form the rest of the table layer
-        // (and expireSnapshots' liveness check) uses.
-        FileEntry(new Path(new java.net.URI(r.getString(0))).toString,
-          r.getInt(1), schemaVer, r.getLong(2),
-          r.getAs[Any]("live") match { case null => 0L; case x: Long => x },
-          kind)
-      }
+    graft.cdc.MergeApply.timed("file-stats")(footerStats(dir, schemaVer, kind))
+  }
+
+  /** Manifest entries for every parquet file under a commit directory,
+    * derived purely from footer metadata (row counts + `_live` null
+    * counts). Files whose footers lack a null count (foreign writers —
+    * Spark's parquet writer always records it) fall back to one bounded
+    * Spark job over just those files.
+    */
+  private def footerStats(dir: Path, schemaVer: Int, kind: String): Seq[FileEntry] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val fsys = dir.getFileSystem(conf)
+    if (!fsys.exists(dir)) return Nil
+    val found = mutable.ArrayBuffer[(Path, Int)]() // (file, bucket)
+    val it = fsys.listFiles(dir, true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      val parent = p.getParent.getName
+      if (p.getName.endsWith(".parquet") && parent.startsWith("_bucket="))
+        found += ((p, parent.stripPrefix("_bucket=").toInt))
     }
+    if (found.isEmpty) return Nil
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, found.size))
+    try {
+      val futures = found.toSeq.map { case (p, bucket) =>
+        pool.submit(new java.util.concurrent.Callable[(Path, Int, Long, Long)] {
+          def call(): (Path, Int, Long, Long) = {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              val blocks = reader.getFooter.getBlocks.asScala
+              val rows = blocks.map(_.getRowCount).sum
+              // dead = Σ null counts of `_live`; -1 when any chunk lacks them
+              var dead = 0L
+              var known = true
+              blocks.foreach { b =>
+                b.getColumns.asScala.find(_.getPath.toDotString == "_live") match {
+                  case Some(c) if c.getStatistics != null && c.getStatistics.isNumNullsSet =>
+                    dead += c.getStatistics.getNumNulls
+                  case _ => known = false
+                }
+              }
+              (p, bucket, rows, if (known) rows - dead else -1L)
+            } finally reader.close()
+          }
+        })
+      }
+      val stats = futures.map(_.get())
+      val (ok, unknown) = stats.partition(_._4 >= 0L)
+      val rescued: Seq[(Path, Int, Long, Long)] =
+        if (unknown.isEmpty) Nil
+        else {
+          val byPath = spark.read.schema(physicalSchema(schemaVer))
+            .parquet(unknown.map(_._1.toString): _*)
+            .select(input_file_name().as("f"), col("_deleted"))
+            .groupBy(col("f"))
+            .agg(sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
+            .collect().map(r => new Path(new java.net.URI(r.getString(0))).toString -> r.getLong(1))
+            .toMap
+          unknown.map { case (p, b, rows, _) => (p, b, rows, byPath.getOrElse(p.toString, 0L)) }
+        }
+      (ok ++ rescued).map { case (p, bucket, rows, live) =>
+        FileEntry(p.toString, bucket, schemaVer, rows, live, kind)
+      }
+    } finally pool.shutdown()
   }
 
   // ---- maintenance ----
@@ -383,6 +468,24 @@ object LakeTable {
     StructField("_lsn", LongType, nullable = false),
     StructField("_deleted", BooleanType, nullable = false))
 
+  /** Order-independent content hash of a batch: per-row xxhash64 summed in
+    * decimal(38,0) space (a plain long sum overflows under ANSI mode; 38
+    * digits absorb ~1e19 rows) and folded back to a long. Non-idempotent
+    * merge kernels pass this to [[LakeTable.commit]] as the re-delivery
+    * fence (reference analog: content-hash `batch_id`,
+    * Docs/etl_requirements_reviewed_by_sr.md:162-165).
+    */
+  def batchContentHash(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    pmod(sum(xxhash64(cols: _*).cast(DecimalType(38, 0))),
+      lit(new java.math.BigDecimal(Long.MaxValue))).cast(LongType)
+
+  /** FIFO cap on remembered batch content hashes: the re-delivery window
+    * after a checkpoint swap is bounded (a restarted stream re-reads at
+    * most its source's retained backlog), so only recent batches can
+    * legitimately reappear. 4096 hashes ≈ 32 KB of manifest.
+    */
+  val maxBatchHashes = 4096
+
   /** Create an empty table at `root` with an initial schema version. */
   def create(
       spark: SparkSession, root: String, schemaVer: Int, numBuckets: Int,
@@ -435,10 +538,14 @@ object LakeTable {
       s"""{"path":"${esc(f.path)}","bucket":${f.bucket},"schemaVer":${f.schemaVer},""" +
         s""""rows":${f.rows},"live":${f.live},"kind":"${esc(f.kind)}"}""")
       .mkString("[", ",", "]")
+    val we = s.writerEpochs.toSeq.sortBy(_._1)
+      .map { case (w, e) => s"""{"w":"${esc(w)}","e":$e}""" }.mkString("[", ",", "]")
+    val bh = s.batchHashes.mkString("[", ",", "]")
     s"""{"id":${s.id},"parent":${s.parent},"epochId":${s.epochId},"schemaVer":${s.schemaVer},""" +
       s""""numBuckets":${s.numBuckets},"rows":${s.rows},"maxLsn":${s.maxLsn},""" +
       s""""writer":"${esc(s.writerId)}","inputEvents":${s.inputEvents},""" +
-      s""""dedupedKeys":${s.dedupedKeys},"mergeMs":${s.mergeMs},"files":$files}"""
+      s""""dedupedKeys":${s.dedupedKeys},"mergeMs":${s.mergeMs},""" +
+      s""""writerEpochs":$we,"batchHashes":$bh,"files":$files}"""
   }
 
   private[lake] def parseManifest(json: String): Snapshot = {
@@ -453,12 +560,22 @@ object LakeTable {
         if (f.has("kind")) f.get("kind").asText() else FileEntry.Base)
     }
     def optLong(k: String): Long = if (n.has(k)) n.get(k).asLong() else -1L
+    val writerEpochs: Map[String, Long] =
+      if (!n.has("writerEpochs")) Map.empty
+      else (0 until n.get("writerEpochs").size()).map { i =>
+        val e = n.get("writerEpochs").get(i)
+        e.get("w").asText() -> e.get("e").asLong()
+      }.toMap
+    val batchHashes: Seq[Long] =
+      if (!n.has("batchHashes")) Nil
+      else (0 until n.get("batchHashes").size()).map(i => n.get("batchHashes").get(i).asLong())
     Snapshot(n.get("id").asLong(), n.get("parent").asLong(), n.get("epochId").asLong(),
       n.get("schemaVer").asInt(), n.get("numBuckets").asInt(), n.get("rows").asLong(),
       n.get("maxLsn").asLong(), files,
       writerId = if (n.has("writer")) n.get("writer").asText() else "",
       inputEvents = optLong("inputEvents"), dedupedKeys = optLong("dedupedKeys"),
-      mergeMs = optLong("mergeMs"))
+      mergeMs = optLong("mergeMs"),
+      writerEpochs = writerEpochs, batchHashes = batchHashes)
   }
 
   private def writeManifest(fs: FileSystem, p: Path, s: Snapshot): Unit =

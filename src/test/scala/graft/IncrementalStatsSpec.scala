@@ -71,6 +71,42 @@ class IncrementalStatsSpec extends AnyFunSuite {
     assert(total == 1000L)
   }
 
+  test("fresh-checkpoint restart: new writer is not silently fenced, " +
+      "re-delivered batch content does not double-add") {
+    val data = obs(1200)
+    val root = Files.createTempDirectory("graft-stats-writer-").toString
+    val table = IncrementalStats.createTable(spark, root, numBuckets = 4)
+    val dA = IncrementalStats.deltas(data.filter(col("id") < 600))
+    val dB = IncrementalStats.deltas(data.filter(col("id") >= 600))
+    // writer w1 applies A at epoch 0, B at epoch 1
+    assert(IncrementalStats.applyBatch(table, dA, 0L, writerId = "w1"))
+    assert(IncrementalStats.applyBatch(table, dB, 1L, writerId = "w1"))
+    val after = stateOf(table)
+    assert(after.values.map(_._1).sum == 1200L)
+    // crash; stream restarts with a FRESH checkpoint: new writerId, epochs
+    // restart at 0. Its batch 0 re-delivers B's content — the writer-scoped
+    // fence admits the new writer (no silent data loss) but the content
+    // hash catches the re-delivery (no double-add: merge-ADD is not
+    // idempotent).
+    assert(!IncrementalStats.applyBatch(table, dB, 0L, writerId = "w2"))
+    assert(stateOf(table) == after)
+    // the new writer's batch 1 carries genuinely NEW observations — it must
+    // apply even though its epoch (1) is not above w1's watermark scope
+    val extra = {
+      import spark.implicits._
+      Seq(("g-new", 2.5, 1.0 / (1.0 + 2.5 * 2.5), 9999L))
+        .toDF("group_key", "theta", "w", "id")
+    }
+    assert(IncrementalStats.applyBatch(table, IncrementalStats.deltas(extra), 1L, writerId = "w2"))
+    val finalState = stateOf(table)
+    assert(finalState.values.map(_._1).sum == 1201L)
+    assert(finalState.contains("g-new"))
+    // and w1's own watermark survives w2's commits (per-writer map, not a
+    // last-writer-only pair): a late w1 replay of epoch 1 is still fenced
+    assert(!IncrementalStats.applyBatch(table, dB, 1L, writerId = "w1"))
+    assert(stateOf(table) == finalState)
+  }
+
   test("derived pooled view matches direct computation") {
     val data = obs(2000)
     val root = Files.createTempDirectory("graft-stats-derive-").toString

@@ -60,4 +60,32 @@ class Scd2Spec extends AnyFunSuite {
     assert(!Scd2History.applyBatch(table, cfg, last, 4L))
     assert(table.read().count() == 400)
   }
+
+  test("fresh-checkpoint restart: new writer admitted, re-delivered batch " +
+      "content fenced by hash (close-out+insert is not re-apply idempotent)") {
+    val df = changes(200)
+    val cfg = Scd2Config(Seq("user_id"), Seq("event_type", "value"), "event_id")
+    val root = Files.createTempDirectory("graft-scd2-writer-").toString
+    val table = Scd2History.createTable(spark, root, cfg, df.schema, numBuckets = 4)
+    val b0 = df.filter(col("event_id") <= 100)
+    val b1 = df.filter(col("event_id") > 100)
+    assert(Scd2History.applyBatch(table, cfg, b0, 0L, writerId = "w1"))
+    assert(Scd2History.applyBatch(table, cfg, b1, 1L, writerId = "w1"))
+    assert(table.read().count() == 200)
+    // restart with a fresh checkpoint: writer w2, epoch 0 re-delivers b1's
+    // content — must NOT re-apply (it would close the versions it itself
+    // inserted), and must not be silently fenced either when it later
+    // brings new data.
+    assert(!Scd2History.applyBatch(table, cfg, b1, 0L, writerId = "w2"))
+    assert(table.read().count() == 200)
+    val fresh = {
+      import spark.implicits._
+      Seq(("k-new", "state-9", 1.0, 999L)).toDF("user_id", "event_type", "value", "event_id")
+    }
+    assert(Scd2History.applyBatch(table, cfg, fresh, 1L, writerId = "w2"))
+    assert(table.read().count() == 201)
+    // w1's watermark survives w2's commits
+    assert(!Scd2History.applyBatch(table, cfg, b1, 1L, writerId = "w1"))
+    assert(table.read().count() == 201)
+  }
 }
