@@ -16,7 +16,15 @@ object Sessions {
     // SPARK_GRAFT_AQE=0 turns adaptive execution off — an A/B knob for
     // measuring AQE's per-stage driver re-planning cost in the merge loop.
     val aqe = !sys.env.get("SPARK_GRAFT_AQE").contains("0")
-    SparkSession.builder()
+    // Shuffle/spill on tmpfs when the host has one (measured: the 8-core
+    // merge epoch dropped 10.4 s → 6.3 s once shuffle files stopped
+    // hitting the VM's virtio disk — the disk was a fixed-bandwidth
+    // serializer that capped N→4N scaling). The real-cluster analogue is
+    // executors shuffling to local NVMe; SPARK_GRAFT_LOCAL_DIR overrides.
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+      .orElse(if (new java.io.File("/dev/shm").isDirectory) Some("/dev/shm/graft-spark-local")
+              else None)
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", sp.toString)
@@ -31,6 +39,7 @@ object Sessions {
       // executor gets heartbeat-evicted and the session is dead.
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
-      .getOrCreate()
+    localDir.foreach(d => b.config("spark.local.dir", d))
+    b.getOrCreate()
   }
 }

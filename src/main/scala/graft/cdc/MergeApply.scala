@@ -102,7 +102,7 @@ object MergeApply {
       events: DataFrame,
       epochId: Long,
       saltFactor: Int = 4,
-      saltRowThreshold: Long = 50000L,
+      saltRowThreshold: Long = 4000000L,
       mode: MergeMode = MergeMode.Upsert,
       writerId: String = "",
       strategy: WriteStrategy = WriteStrategy.CopyOnWrite): BatchStats = {
@@ -189,11 +189,20 @@ object MergeApply {
       .agg(max_by(struct(mergeCols.map(col): _*), col("_lsn")).as("r"))
       .select(col("r.*"))
 
-    // 4. Salted write: spread hot buckets across multiple tasks when the
-    //    per-bucket volume warrants it (auto-downshift to 1 for small
-    //    batches — salt multiplies output file count), then split files
-    //    back out by bucket via dynamic partitioning.
-    val salt = if (inputEvents / math.max(1, touched.size) < saltRowThreshold) 1
+    // 4. Salted write: spread a bucket across multiple write tasks ONLY
+    //    when its RESOLVED row volume warrants it. The written volume per
+    //    bucket is (existing live rows in the bucket) + (new keys, upper-
+    //    bounded by batch events per bucket) — NOT the batch's raw event
+    //    count: a hot conversation's million events resolve to ≤ max_turns
+    //    rows, so salting on event volume multiplied output-file count
+    //    (and every per-file fixed cost: write setup, footer, manifest
+    //    entry, later read open) with zero balancing benefit. The default
+    //    threshold is a healthy parquet write task (~4M rows ≈ 0.5 GB);
+    //    the 100 TB case — CoW rewriting a ~2.4e8-row bucket — salts at
+    //    the cap, which is exactly when spreading pays.
+    val livePerBucket = if (cur.rows > 0) cur.rows / math.max(1, b) else 0L
+    val resolvedEstPerBucket = livePerBucket + inputEvents / math.max(1, touched.size)
+    val salt = if (resolvedEstPerBucket < saltRowThreshold) 1
       else math.max(1, saltFactor)
     val withBucket = resolved.withColumn("_bucket", bucketOf(col(keyCols.head), b))
     val parts = math.max(1, math.min(touched.size * salt,
