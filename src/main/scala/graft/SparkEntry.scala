@@ -23,6 +23,7 @@ object SparkEntry {
   private val catalog = RelationalQueries.all ++ TextQueries.all ++
     SimilarityQueries.all ++ graft.sources.JsonMetadata.all ++
     graft.analytics.IncrementalStats.all ++ graft.cdc.Scd2History.all ++
+    graft.analytics.MaterializedPairs.all ++
     graft.streaming.StreamAnalytics.all
 
   /** Flagship: end-to-end CDC replay — generate a deterministic change

@@ -672,6 +672,61 @@ object RelationalQueries {
           FROM s ORDER BY event_type"""
     })
 
+  /** A9+Fisher/Stouffer ▸ Fisher z-transform pooling of correlation-like
+    * effects + Stouffer weighted p-combination over the same sufficient
+    * stats as a9 (reference: Fisher z for correlations + Stouffer
+    * combination, Docs/etl_requirements_reviewed_by_sr.md:608-621,416).
+    * Per study: effect r ∈ (−1,1), Fisher z = atanh(r), study size n.
+    * Pooled: z̄ = Σ(n−3)z / Σ(n−3), back-transformed r̄ = tanh(z̄).
+    * Stouffer: Z = Σ√n·(z√(n−3)) / √Σn, p = 2(1−Φ(|Z|)). One shuffle;
+    * atanh/tanh are spelled as their exp/ln closed forms on BOTH engines
+    * so the oracle runs the byte-identical formula.
+    */
+  private val a9s = Q("a9_stouffer",
+    (spark, dir) => {
+      import graft.functions.StatFunctions
+      val e = t(spark, dir, "events")
+        // correlation-like effect in (−1,1) and a deterministic per-study n
+        .withColumn("r", col("value") / sqrt(lit(1.0) + col("value") * col("value")))
+        .withColumn("n", (lit(10) + pmod(col("event_id"), lit(20))).cast("double"))
+        .withColumn("fz", lit(0.5) * log((lit(1.0) + col("r")) / (lit(1.0) - col("r"))))
+      val s = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("k"),
+        sum((col("n") - 3) * col("fz")).as("szw"),
+        sum(col("n") - 3).as("sw"),
+        sum(sqrt(col("n")) * col("fz") * sqrt(col("n") - 3)).as("sst"),
+        sum(col("n")).as("sn"))
+      val zbar = col("szw") / col("sw")
+      val pooledR = lit(1.0) - lit(2.0) / (exp(lit(2.0) * zbar) + lit(1.0)) // tanh(zbar)
+      val zComb = col("sst") / sqrt(col("sn"))
+      s.select(col("event_type"), col("k"),
+        round(zbar, 6).as("fisher_z_pooled"),
+        round(pooledR, 6).as("pooled_r"),
+        round(zComb, 6).as("z_stouffer"),
+        round(StatFunctions.pValue(zComb), 6).as("p_combined"))
+        .orderBy("event_type")
+    },
+    Some {
+      val zc = "(sst / sqrt(sn))"
+      s"""WITH b AS (
+            SELECT event_type,
+                   value / sqrt(1.0 + value*value) AS r,
+                   CAST(10 + (event_id % 20) AS DOUBLE) AS n
+            FROM events),
+          f AS (SELECT event_type, n, 0.5 * ln((1.0 + r) / (1.0 - r)) AS fz FROM b),
+          s AS (
+            SELECT event_type, count(*) AS k,
+                   sum((n-3) * fz) AS szw, sum(n-3) AS sw,
+                   sum(sqrt(n) * fz * sqrt(n-3)) AS sst, sum(n) AS sn
+            FROM f GROUP BY event_type)
+          SELECT event_type, k,
+                 round(szw/sw, 6) AS fisher_z_pooled,
+                 round(1.0 - 2.0 / (exp(2.0 * szw/sw) + 1.0), 6) AS pooled_r,
+                 round($zc, 6) AS z_stouffer,
+                 round(${graft.functions.StatFunctions.pValueSql(zc)}, 6) AS p_combined
+          FROM s ORDER BY event_type"""
+    })
+
   /** P5 ▸ label normalization + int-or-passthrough key parse (reference:
     * _normalize_label / _parse_key,
     * Scripts/python/enhanced_main_etl.py:124-132): a mixed column parses
@@ -738,6 +793,6 @@ object RelationalQueries {
               ON c.c_nationkey = n.n_nationkey
             ORDER BY c_custkey"""))
 
-  val all: Seq[Q] = Seq(m1, t3, j5, m7, c8, q1, a1, a2, a3, a4, a6, a7, a9, a9p,
+  val all: Seq[Q] = Seq(m1, t3, j5, m7, c8, q1, a1, a2, a3, a4, a6, a7, a9, a9p, a9s,
     j1, j2, j4, j6, j8, p1, p4, p5, p6, p8, p9, c1, c2, c5, s5, w1, w2, w4)
 }

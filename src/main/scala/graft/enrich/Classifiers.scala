@@ -21,12 +21,13 @@ object Classifiers {
     */
   final case class RegexRule(priority: Int, pattern: String, label: String)
 
-  /** The reference's illness rule set (Config/config.yaml:26-53 semantics). */
-  val illnessRules: Seq[RegexRule] = Seq(
-    RegexRule(10, "septic[ _-]?shock", "SEPTIC_SHOCK"),
-    RegexRule(20, "no[ _-]?sepsis|non[ _-]?septic", "NO_SEPSIS"),
-    RegexRule(30, "sepsis|septic", "SEPSIS"),
-    RegexRule(40, "control|healthy|normal", "CONTROL"))
+  /** The reference's illness rule set (Config/config.yaml:26-53 semantics).
+    * Sourced through [[RulesConfig]] — rules are CONFIG DATA parsed from
+    * JSON, not code, so a deployment edits the rule file and the identical
+    * when/rlike chain is rebuilt at plan time (config-as-data; see
+    * [[RulesConfig.load]] for user-provided files).
+    */
+  lazy val illnessRules: Seq[RegexRule] = RulesConfig.default.illnessRules
 
   /** Priority-ordered classifier with override-beats-rule precedence:
     * returns (label, method) where method ∈ {override, rule, default}
@@ -67,18 +68,24 @@ object Classifiers {
 
   /** Case-insensitive substring manufacturer lookup (reference:
     * Scripts/python/enhanced_main_etl.py:476-482; lookup table
-    * Config/config.yaml:54-61).
+    * Config/config.yaml:54-61). Config-as-data via [[RulesConfig]].
     */
-  val manufacturerLookup: Seq[(String, String)] = Seq(
-    "illumina" -> "Illumina",
-    "affymetrix" -> "Affymetrix",
-    "agilent" -> "Agilent",
-    "nanostring" -> "NanoString")
+  lazy val manufacturerLookup: Seq[(String, String)] = RulesConfig.default.manufacturers
 
   def manufacturer(platformCol: Column): Column =
-    manufacturerLookup.foldRight(lit("Unknown")) { case ((k, v), acc) =>
+    manufacturer(platformCol, manufacturerLookup)
+
+  def manufacturer(platformCol: Column, lookup: Seq[(String, String)]): Column =
+    lookup.foldRight(lit("Unknown")) { case ((k, v), acc) =>
       when(lower(platformCol).contains(k), lit(v)).otherwise(acc)
     }
+
+  /** [[classify]] driven entirely by a parsed rule config — the
+    * config-as-data entry point (reference: config.yaml rules applied by
+    * enhanced_main_etl.py:220-295).
+    */
+  def classifyWith(keyCol: Column, textCol: Column, rules: RulesConfig.Rules): (Column, Column) =
+    classify(keyCol, textCol, rules.illnessRules, rules.overrides, rules.defaultLabel)
 
   /** Measurement-technology inference over the normalized descriptor
     * (reference: _infer_measurement_technology,

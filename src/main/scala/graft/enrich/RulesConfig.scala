@@ -1,0 +1,101 @@
+package graft.enrich
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.enrich.Classifiers.RegexRule
+
+/** Config-as-data rule loading: classification rule tables, override maps,
+  * lookups and defaults are parsed from an external JSON config file into
+  * the structures [[Classifiers.classify]] folds into its when/rlike
+  * chain — so a user changes a classification rule by EDITING CONFIG, not
+  * by recompiling (reference: rules live in Config/config.yaml:26-93 and
+  * are parsed at Scripts/python/enhanced_main_etl.py:220-295).
+  *
+  * JSON instead of YAML keeps the dependency surface at zero: Jackson
+  * ships with Spark (the same mapper the lake manifests use). The format
+  * mirrors the reference config section-for-section:
+  *
+  * {{{
+  * {
+  *   "illness_rules": [
+  *     {"priority": 10, "pattern": "septic[ _-]?shock", "label": "SEPTIC_SHOCK"}
+  *   ],
+  *   "overrides": {"conv-000042": "SEPSIS"},
+  *   "default_label": "UNKNOWN",
+  *   "manufacturers": [{"match": "illumina", "name": "Illumina"}]
+  * }
+  * }}}
+  *
+  * The rule DATA changes per deployment; the PLAN SHAPE does not — any
+  * config folds into the same codegen'd expression chain, so config edits
+  * cannot deoptimize the pipeline.
+  */
+object RulesConfig {
+
+  final case class Rules(
+      illnessRules: Seq[RegexRule],
+      overrides: Map[String, String],
+      defaultLabel: String,
+      manufacturers: Seq[(String, String)])
+
+  /** The shipped default config — the SAME rule data the reference ships
+    * in its config.yaml, embedded as config text and run through the same
+    * parser as a user-provided file (so the default path exercises
+    * config-as-data too, not a parallel in-code table).
+    */
+  val defaultJson: String =
+    """{
+      |  "illness_rules": [
+      |    {"priority": 10, "pattern": "septic[ _-]?shock", "label": "SEPTIC_SHOCK"},
+      |    {"priority": 20, "pattern": "no[ _-]?sepsis|non[ _-]?septic", "label": "NO_SEPSIS"},
+      |    {"priority": 30, "pattern": "sepsis|septic", "label": "SEPSIS"},
+      |    {"priority": 40, "pattern": "control|healthy|normal", "label": "CONTROL"}
+      |  ],
+      |  "overrides": {},
+      |  "default_label": "UNKNOWN",
+      |  "manufacturers": [
+      |    {"match": "illumina", "name": "Illumina"},
+      |    {"match": "affymetrix", "name": "Affymetrix"},
+      |    {"match": "agilent", "name": "Agilent"},
+      |    {"match": "nanostring", "name": "NanoString"}
+      |  ]
+      |}""".stripMargin
+
+  lazy val default: Rules = parse(defaultJson)
+
+  def parse(json: String): Rules = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val n = new ObjectMapper().readTree(json)
+    val rules =
+      if (!n.has("illness_rules")) Nil
+      else (0 until n.get("illness_rules").size()).map { i =>
+        val r = n.get("illness_rules").get(i)
+        RegexRule(r.get("priority").asInt(), r.get("pattern").asText(), r.get("label").asText())
+      }
+    val overrides: Map[String, String] =
+      if (!n.has("overrides")) Map.empty
+      else {
+        val o = n.get("overrides")
+        val it = o.fieldNames()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val k = it.next(); b += k -> o.get(k).asText() }
+        b.result()
+      }
+    val defaultLabel = if (n.has("default_label")) n.get("default_label").asText() else "UNKNOWN"
+    val manufacturers =
+      if (!n.has("manufacturers")) Nil
+      else (0 until n.get("manufacturers").size()).map { i =>
+        val m = n.get("manufacturers").get(i)
+        m.get("match").asText() -> m.get("name").asText()
+      }
+    Rules(rules, overrides, defaultLabel, manufacturers)
+  }
+
+  /** Load a rule config from a file path (any local/posix path; HDFS-form
+    * deployments would route through the Hadoop FileSystem the way the
+    * lake manifests do).
+    */
+  def load(path: String): Rules =
+    parse(new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8))
+}

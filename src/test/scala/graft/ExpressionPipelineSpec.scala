@@ -68,6 +68,42 @@ class ExpressionPipelineSpec extends AnyFunSuite {
     }
   }
 
+  // config-as-data: rules come from an external JSON file; editing the
+  // file changes classification with NO code change (reference:
+  // Config/config.yaml:26-93 parsed at enhanced_main_etl.py:220-295)
+  test("classifier rules load from a config file; editing config changes labels") {
+    import spark.implicits._
+    import graft.enrich.RulesConfig
+    val df = Seq(("S1", "flu season cohort"), ("S2", "sepsis patient"))
+      .toDF("key", "title")
+    // fixture config: a NEW rule ("flu" -> INFLUENZA), sepsis rule dropped,
+    // custom default + override section
+    val cfgPath = Files.createTempDirectory("graft-rules-").resolve("rules.json")
+    Files.writeString(cfgPath,
+      """{
+        |  "illness_rules": [{"priority": 5, "pattern": "flu", "label": "INFLUENZA"}],
+        |  "overrides": {"S2": "QUARANTINE"},
+        |  "default_label": "UNCLASSIFIED",
+        |  "manufacturers": [{"match": "oxford", "name": "Oxford Nanopore"}]
+        |}""".stripMargin)
+    val rules = RulesConfig.load(cfgPath.toString)
+    val (label, _) = Classifiers.classifyWith(col("key"), col("title"), rules)
+    val got = df.select(col("key"), label.as("label")).orderBy("key").collect()
+    assert(got(0).getAs[String]("label") == "INFLUENZA") // new config rule fires
+    assert(got(1).getAs[String]("label") == "QUARANTINE") // config override beats old rule
+    // manufacturers table is config data too
+    val m = Seq("Oxford Nanopore MinION", "Illumina HiSeq").toDF("p")
+      .select(Classifiers.manufacturer(col("p"), rules.manufacturers).as("m"))
+      .collect().map(_.getString(0))
+    assert(m.toSeq == Seq("Oxford Nanopore", "Unknown")) // illumina absent in this config
+    // and the default (shipped) config still classifies the old way —
+    // proving the two configs differ only by data
+    val (defLabel, _) = Classifiers.classifyWith(col("key"), col("title"), RulesConfig.default)
+    val defGot = df.select(col("key"), defLabel.as("label")).orderBy("key").collect()
+    assert(defGot(0).getAs[String]("label") == "UNKNOWN")
+    assert(defGot(1).getAs[String]("label") == "SEPSIS")
+  }
+
   // platform golden (test_enhanced_etl.py:176-229; FIXTURES.md §2.2):
   // "Illumina Genome Analyzer (GPL1111)" -> (GPL1111, Illumina Genome Analyzer, Illumina, RNA-SEQ)
   test("platform parse / manufacturer / technology golden table") {
