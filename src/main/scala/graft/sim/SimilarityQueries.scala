@@ -593,7 +593,7 @@ object SimilarityQueries {
     Some(sim3OracleSql))
 
   /** DuckDB twin of sim3: same sampled centroids, same rounded-cosine cell
-    * ranking with centroid-id tiebreak, same nprobe=3 probe set, same
+    * ranking with centroid-id tiebreak, same nprobe=8 probe set, same
     * exact rerank to top-5. Constants mirror the catalog call.
     */
   private def sim3OracleSql: String =

@@ -116,9 +116,12 @@ object StreamAnalytics {
     }
     groups.reverse.map { g =>
       val s = g.reverse
+      // Sum in EXACT BigDecimal space (order-independent), round once:
+      // a double fold in buffer order vs the batch twin's shuffle-order
+      // sum could land on opposite sides of a HALF_UP boundary.
+      val exact = s.foldLeft(BigDecimal(0))((acc, e) => acc + BigDecimal(e._2))
       Session(uid, s.head._1, s.last._1, s.size.toLong,
-        BigDecimal(s.map(_._2).sum).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble)
+        exact.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
 
@@ -151,7 +154,10 @@ object StreamAnalytics {
             val merged = state.getOption.map(_.events).getOrElse(Nil) ++
               it.map(e => (micros(e.ts), e.value))
             state.update(OpenBuffer(merged))
-            val lastMs = merged.iterator.map(_._1).max / 1000L
+            // CEIL micros→millis: flooring could fire the timeout up to
+            // ~1 ms before last+gap, splitting a session whose next event
+            // sits exactly on the gap boundary.
+            val lastMs = (merged.iterator.map(_._1).max + 999L) / 1000L
             // The timeout must sit strictly above the current watermark;
             // if the watermark already passed last+gap (possible when
             // gap < watermark delay), close on the next trigger instead.
