@@ -14,18 +14,31 @@ import graft.lake.LakeTable
   * pair aggregate persisted as a maintained, snapshot-committed LakeTable
   * instead of being recomputed per query.
   *
-  * Refresh semantics: stored-proc-style FULL refresh — recompute the pair
-  * aggregate and atomically replace the view's buckets in one fenced
-  * snapshot commit (readers keep seeing the old snapshot until the commit
-  * lands; a crashed refresh leaves the previous snapshot intact). The
-  * epoch fence makes a replayed refresh a no-op.
+  * Refresh semantics, two tiers:
+  *   - [[refresh]]: stored-proc-style FULL refresh — recompute the pair
+  *     aggregate and atomically replace the view's buckets in one fenced
+  *     snapshot commit (readers keep seeing the old snapshot until the
+  *     commit lands; a crashed refresh leaves the previous snapshot
+  *     intact). The epoch fence makes a replayed refresh a no-op.
+  *   - [[refreshIncremental]]: delta-driven merge-ADD — pair counts are
+  *     ADDITIVE across fact deltas partitioned by order (a new order
+  *     arrives whole), so a delta's pair aggregate folds into the stored
+  *     counts touching only the buckets its pairs land in, O(delta pairs +
+  *     touched view slice) instead of O(all facts). Merge-ADD is not
+  *     idempotent under re-apply, so the fence is the per-writer epoch
+  *     watermark PLUS a batch content hash (same protocol as
+  *     [[IncrementalStats]]).
+  *
+  * The stored table keeps UN-thresholded counts (every co-occurring pair,
+  * count ≥ 1) precisely so counts stay additive; the HAVING floor is a
+  * read-time filter ([[readView]]). A pair crossing the threshold between
+  * refreshes surfaces automatically — a write-time floor would have
+  * dropped the sub-threshold history an increment needs to add onto.
   *
   * Scale shape: the view is an AGGREGATE (pairs × counts), orders of
-  * magnitude smaller than the fact table, so the rewrite cost is O(view),
-  * not O(facts); the recompute itself is the same one-shuffle self-join
-  * j4 runs. An incremental (delta-driven) refresh would reuse
-  * [[IncrementalStats]]' merge-ADD pattern — pair counts are additive —
-  * and is the documented growth path when the pair space itself gets hot.
+  * magnitude smaller than the fact table, so the full-refresh rewrite cost
+  * is O(view), not O(facts); the recompute itself is the same one-shuffle
+  * self-join j4 runs, and the incremental path reduces that to the delta.
   */
 object MaterializedPairs {
 
@@ -60,7 +73,7 @@ object MaterializedPairs {
     val cur = table.current
     if (table.fenced(cur, epochId, writerId)) return false
     val b = cur.numBuckets
-    val rows = candidatePairs(source)
+    val rows = candidatePairs(source, minOrders = 1L) // store raw counts
       .withColumn("_lsn", lit(epochId))
       .withColumn("_deleted", lit(false))
       .withColumn("_bucket", MergeApply.bucketOf(col("p1"), b))
@@ -73,21 +86,73 @@ object MaterializedPairs {
       writerId = writerId).applied
   }
 
-  /** Driver catalog entry: build + refresh the materialized pair table
-    * from lineitem, read the VIEW back — the DuckDB oracle recomputes the
-    * identical aggregate directly, so the materialization must be
-    * transparent (same rows as computing it fresh).
+  /** Fold one fact DELTA into the stored counts. The delta must carry
+    * whole orders (pair counts are per-order co-occurrence; order-
+    * partitioned CDC delivery gives exactly this), so its pair aggregate
+    * ADDs onto the stored counts. Copy-on-write touches only buckets whose
+    * pairs appear in the delta; exactly-once rides the per-writer fence +
+    * batch content hash (ADD is not re-apply idempotent). Returns false
+    * when fenced, hash-deduped, or empty.
+    */
+  def refreshIncremental(table: LakeTable, deltaFacts: DataFrame, epochId: Long,
+      writerId: String = ""): Boolean = {
+    val cur = table.current
+    if (table.fenced(cur, epochId, writerId)) return false
+    val b = cur.numBuckets
+    val delta = candidatePairs(deltaFacts, minOrders = 1L)
+    val head = delta.agg(
+      count(lit(1)).as("n"),
+      collect_set(MergeApply.bucketOf(col("p1"), b)).as("touched"),
+      LakeTable.batchContentHash(Seq(col("p1"), col("p2"), col("n_orders"))).as("bh"))
+      .collect()(0)
+    if (head.getAs[Long]("n") == 0L) return false
+    val batchHash = head.getAs[Long]("bh")
+    if (cur.batchHashes.contains(batchHash)) return false
+    val touched: Set[Int] = head.getAs[Seq[Int]]("touched").toSet
+
+    val stored = table.readConformed(cur, Some(touched))
+      .filter(!col("_deleted"))
+      .select(col("p1"), col("p2"), col("n_orders"))
+    val merged = stored.unionByName(delta)
+      .groupBy(col("p1"), col("p2"))
+      .agg(sum(col("n_orders")).cast(LongType).as("n_orders"))
+      .withColumn("_lsn", lit(epochId))
+      .withColumn("_deleted", lit(false))
+      .withColumn("_bucket", MergeApply.bucketOf(col("p1"), b))
+    val files = table.writeDataFiles(
+      merged.repartition(math.max(1, math.min(touched.size, 8)), col("_bucket")),
+      schemaVer = 1)
+    val newLive = files.map(_.live).sum
+    val oldLive = cur.files.filter(f => touched.contains(f.bucket)).map(_.live).sum
+    table.commit(files, touched, epochId, schemaVer = 1,
+      rowDelta = newLive - oldLive, maxLsnSeen = epochId,
+      writerId = writerId, batchHash = Some(batchHash)).applied
+  }
+
+  /** The analytics view: stored counts with the HAVING floor applied at
+    * read time (write-time thresholding would break count additivity).
+    */
+  def readView(table: LakeTable, minOrders: Long = 2L): DataFrame =
+    table.read().filter(col("n_orders") >= minOrders)
+
+  /** Driver catalog entry: build the materialized pair table from half of
+    * lineitem via FULL refresh, fold the other half in via INCREMENTAL
+    * refresh, read the thresholded VIEW back — the DuckDB oracle
+    * recomputes the aggregate over all of lineitem directly, so both
+    * maintenance paths must compose transparently (same rows as computing
+    * it fresh).
     */
   private val j4m = Q("j4_materialized_pairs",
     (spark, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-mv-").toString + "/pairs"
       val table = createTable(spark, root)
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      // two refreshes: the second supersedes the first (epoch-fenced
-      // replace), proving refresh idempotence rides the commit protocol
+      // even orders arrive as the initial full build; odd orders arrive
+      // later as a whole-order delta batch
       require(refresh(table, li.filter(col("l_orderkey") % 2 === 0), 0L), "refresh 0 fenced")
-      require(refresh(table, li, 1L), "refresh 1 fenced")
-      table.read().orderBy("p1", "p2")
+      require(refreshIncremental(table, li.filter(col("l_orderkey") % 2 === 1), 1L),
+        "incremental refresh fenced")
+      readView(table, minOrders = 2L).orderBy("p1", "p2")
     },
     Some("""SELECT a.l_partkey AS p1, b.l_partkey AS p2,
             count(DISTINCT a.l_orderkey) AS n_orders
