@@ -362,7 +362,10 @@ final class LakeTable(
         found += ((p, parent.stripPrefix("_bucket=").toInt))
     }
     if (found.isEmpty) return Nil
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, found.size))
+    // The footer pass is SERIAL driver time on every epoch's critical
+    // path; each footer open is ~10 ms of filesystem round trips, so the
+    // pool is sized to overlap as many as the commit has files (capped).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(48, found.size))
     try {
       val futures = found.toSeq.map { case (p, bucket) =>
         pool.submit(new java.util.concurrent.Callable[(Path, Int, Long, Long)] {
