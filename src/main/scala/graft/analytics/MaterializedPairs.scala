@@ -52,16 +52,27 @@ object MaterializedPairs {
       registry = Map(1 -> pairSchema), keyCols = Seq("p1", "p2"))
 
   /** The candidate-pair aggregate (j4's shape): co-occurring part pairs
-    * per order with a HAVING floor. One shuffle on the join key; the pair
-    * expansion is the workload.
+    * per order with a HAVING floor. Computed WITHOUT a self-join: one
+    * shuffle collects each order's distinct part set, then codegen'd
+    * array expansion emits the C(n,2) ordered pairs — the same pair
+    * volume the join would produce but with HALF the shuffle (the join
+    * exchanges the fact table twice, this exchanges it once) and no join
+    * build side. `collect_set` dedups (order, part) line repeats, so
+    * `count(*)` per pair ≡ the join form's `countDistinct(orderkey)`.
+    * Skew note: an order with n parts emits n²/2 pairs either way; the
+    * expansion happens AFTER the aggregate, on one row per order, so a
+    * hot order costs compute, not shuffle amplification.
     */
   def candidatePairs(lineitem: DataFrame, minOrders: Long = 2L): DataFrame = {
-    val a = lineitem.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = lineitem.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("p1") < col("p2"))
+    val parts = lineitem.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = parts.select(explode(flatten(expr(
+      """transform(ps, (x, i) ->
+        |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2)))"""
+        .stripMargin))).as("pr"))
+    pairs.select(col("pr.p1"), col("pr.p2"))
       .groupBy(col("p1"), col("p2"))
-      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minOrders)
   }
 
