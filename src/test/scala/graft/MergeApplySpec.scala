@@ -97,6 +97,36 @@ class MergeApplySpec extends AnyFunSuite {
     assert(rows == Seq(("a", 1, "new")))
   }
 
+  test("hot-key skew: one conversation carrying ~90% of the batch salts " +
+      "the write and still resolves exact LWW") {
+    import spark.implicits._
+    val root = tmp()
+    val table = LakeTable.create(spark, root, schemaVer = 2, numBuckets = 4)
+    val ts = new java.sql.Timestamp(1704067200000L)
+    def ev(lsn: Long, conv: String, turn: Int, text: String) =
+      Model.ChangeEvent(lsn, "U", 2, conv, turn, Some("user"), Some(text), None, Some(ts))
+    // hot conversation: 9000 events over 10 turns (LSNs interleaved so the
+    // winner is NOT the last emitted); 10 cold conversations with 10 each
+    val hot = (0 until 9000).map(i => ev(i * 7L % 9001, "hot", i % 10, s"h-${i * 7L % 9001}"))
+    val cold = for (c <- 0 until 10; t <- 0 until 10)
+      yield ev(100000L + c * 10 + t, s"cold-$c", t, s"c-$c-$t")
+    val batch = spark.createDataset(scala.util.Random.shuffle(hot ++ cold)).toDF()
+    // force the salted path regardless of volume heuristics
+    val st = MergeApply.applyBatch(table, batch, epochId = 0,
+      saltFactor = 4, saltRowThreshold = 0L)
+    assert(st.applied)
+    // exact LWW oracle, computed naively
+    val want = ((hot ++ cold).groupBy(e => (e.conv_id, e.turn_idx))
+      .map { case (k, es) => k -> es.maxBy(_.lsn).text.get }).toSeq.sortBy(_._1)
+    val got = table.read().orderBy("conv_id", "turn_idx")
+      .select($"conv_id", $"turn_idx", $"text").as[(String, Int, String)]
+      .collect().toSeq.map { case (c, t, x) => ((c, t), x) }
+    assert(got == want)
+    // the hot bucket's resolved rows were spread across >1 salted file
+    val hotBucket = table.current.files.groupBy(_.bucket).values.map(_.size).max
+    assert(hotBucket > 1, s"expected salted multi-file hot bucket, files/bucket=$hotBucket")
+  }
+
   test("compaction preserves state and shrinks file count") {
     val cfg = GenConfig(numConvs = 20, maxTurns = 10, numEvents = 2000)
     val root = tmp()
