@@ -54,6 +54,27 @@ object IncrementalStats {
       sum(col("w") * col("theta")).as("st"),
       sum(col("w") * col("theta") * col("theta")).as("st2"))
 
+  /** Streaming face of the stats table: tail a directory of observation
+    * files and MERGE-ADD each micro-batch's sufficient-stat deltas —
+    * the same exactly-once chain as the transcript stream (checkpointed
+    * source offsets → per-writer epoch fence → content-hash re-delivery
+    * guard for the non-idempotent ADD). Runs to completion over the files
+    * currently present (AvailableNow) and waits.
+    */
+  def streamAvailable(spark: SparkSession, table: LakeTable, obsDir: String,
+      checkpointDir: String, obsSchema: StructType,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val wid = graft.cdc.CdcStream.writerIdOf(checkpointDir)
+    val q = spark.readStream.schema(obsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(obsDir)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        applyBatch(table, deltas(batch), epochId, writerId = wid); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** MERGE-ADD one delta batch into the stats table. Exactly-once via the
     * table's PER-WRITER epoch fence plus a batch content hash: merge-ADD is
     * NOT idempotent under re-apply (unlike the transcript LWW merge), so a

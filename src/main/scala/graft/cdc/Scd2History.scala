@@ -52,6 +52,27 @@ object Scd2History {
       registry = Map(1 -> schemaFor(cfg, input)),
       keyCols = cfg.keyCols :+ "effective_from")
 
+  /** Streaming face of the history table: tail a directory of change
+    * files and close-out+insert each micro-batch — the same exactly-once
+    * chain as the transcript stream (checkpointed source offsets →
+    * per-writer epoch fence → content-hash re-delivery guard for the
+    * non-idempotent close-out). Runs over the files currently present
+    * (AvailableNow) and waits.
+    */
+  def streamAvailable(spark: SparkSession, table: LakeTable, cfg: Scd2Config,
+      srcDir: String, checkpointDir: String, srcSchema: StructType,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val wid = CdcStream.writerIdOf(checkpointDir)
+    val q = spark.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        applyBatch(table, cfg, batch, epochId, writerId = wid); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Apply one batch of change records. Returns false when fenced/empty.
     *
     * Exactly-once: close-out+insert is NOT idempotent under re-apply (the

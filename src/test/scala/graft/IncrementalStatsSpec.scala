@@ -107,6 +107,33 @@ class IncrementalStatsSpec extends AnyFunSuite {
     assert(stateOf(table) == finalState)
   }
 
+  test("streaming ingest: fresh-checkpoint re-delivery is hash-fenced, " +
+      "new files still apply (end-to-end exactly-once)") {
+    val data = obs(800)
+    val srcDir = Files.createTempDirectory("graft-stats-src-").toString
+    graft.cdc.StreamFiles.writeFlat(data.filter(col("id") < 400), srcDir, "f0")
+    graft.cdc.StreamFiles.writeFlat(data.filter(col("id") >= 400), srcDir, "f1")
+    val root = Files.createTempDirectory("graft-stats-stream-").toString
+    val table = IncrementalStats.createTable(spark, root, numBuckets = 4)
+    val ckptA = Files.createTempDirectory("graft-stats-ckptA-").toString
+    IncrementalStats.streamAvailable(spark, table, srcDir, ckptA, data.schema)
+    val after = stateOf(table)
+    assert(after.values.map(_._1).sum == 800L)
+    // checkpoint lost; a FRESH checkpoint re-reads the whole directory —
+    // every re-delivered batch must be content-hash fenced, not double-added
+    val ckptB = Files.createTempDirectory("graft-stats-ckptB-").toString
+    IncrementalStats.streamAvailable(spark, table, srcDir, ckptB, data.schema)
+    assert(stateOf(table) == after)
+    // new observations arriving later must still flow through checkpoint B
+    import spark.implicits._
+    graft.cdc.StreamFiles.writeFlat(
+      Seq(("g-stream", 1.5, 0.4, 9000L)).toDF("group_key", "theta", "w", "id"), srcDir, "f2")
+    IncrementalStats.streamAvailable(spark, table, srcDir, ckptB, data.schema)
+    val finalState = stateOf(table)
+    assert(finalState.values.map(_._1).sum == 801L)
+    assert(finalState.contains("g-stream"))
+  }
+
   test("derived pooled view matches direct computation") {
     val data = obs(2000)
     val root = Files.createTempDirectory("graft-stats-derive-").toString

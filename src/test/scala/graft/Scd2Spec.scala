@@ -88,4 +88,31 @@ class Scd2Spec extends AnyFunSuite {
     assert(!Scd2History.applyBatch(table, cfg, b1, 1L, writerId = "w1"))
     assert(table.read().count() == 201)
   }
+
+  test("streaming ingest: fresh-checkpoint re-delivery is hash-fenced, " +
+      "later files still apply") {
+    val df = changes(120)
+    val cfg = Scd2Config(Seq("user_id"), Seq("event_type", "value"), "event_id")
+    val srcDir = Files.createTempDirectory("graft-scd2-src-").toString
+    graft.cdc.StreamFiles.writeFlat(df.filter(col("event_id") <= 60), srcDir, "f0")
+    graft.cdc.StreamFiles.writeFlat(df.filter(col("event_id") > 60), srcDir, "f1")
+    val root = Files.createTempDirectory("graft-scd2-stream-").toString
+    val table = Scd2History.createTable(spark, root, cfg, df.schema, numBuckets = 4)
+    val ckptA = Files.createTempDirectory("graft-scd2-ckptA-").toString
+    Scd2History.streamAvailable(spark, table, cfg, srcDir, ckptA, df.schema)
+    assert(table.read().count() == 120)
+    // fresh checkpoint re-reads everything: close-out+insert must not
+    // re-apply (it would close the versions it itself inserted)
+    val ckptB = Files.createTempDirectory("graft-scd2-ckptB-").toString
+    Scd2History.streamAvailable(spark, table, cfg, srcDir, ckptB, df.schema)
+    assert(table.read().count() == 120)
+    // a later change file still applies through checkpoint B
+    import spark.implicits._
+    graft.cdc.StreamFiles.writeFlat(
+      Seq(("k-late", "state-9", 9.9, 999L)).toDF("user_id", "event_type", "value", "event_id"),
+      srcDir, "f2")
+    Scd2History.streamAvailable(spark, table, cfg, srcDir, ckptB, df.schema)
+    assert(table.read().count() == 121)
+    assert(table.read().filter(col("user_id") === "k-late" && col("is_active")).count() == 1)
+  }
 }
