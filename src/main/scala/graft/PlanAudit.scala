@@ -107,6 +107,27 @@ object PlanAudit {
     audit("p6_range_flags",
       "pushed filters" -> (_.contains("PushedFilters: [")))
 
+    // materialized-pair aggregate: pair expansion is array transforms
+    // after a per-order collect, NOT a self-join — exactly two exchanges
+    // (per-order collect, per-pair count), both with partial aggregation
+    locally {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val plan = graft.analytics.MaterializedPairs.candidatePairs(li)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n===== candidate_pairs =====")
+      println(plan.linesIterator.take(30).mkString("\n"))
+      Seq(
+        "no self-join" -> !plan.contains("Join"),
+        "generate-based pair expansion" -> plan.contains("Generate"),
+        // formatted mode prints each node twice (tree + detail section);
+        // the "(n) Exchange" detail headers count each exchange once
+        "exactly two exchanges" -> ("""\(\d+\) Exchange""".r.findAllIn(plan).size == 2))
+        .foreach { case (what, ok) =>
+          if (!ok) failures += 1
+          println(s"[audit] candidate_pairs :: $what -> ${if (ok) "OK" else "VIOLATED"}")
+        }
+    }
+
     println(s"\n[audit] total violations: $failures")
     spark.stop()
     if (failures > 0) sys.exit(1)
