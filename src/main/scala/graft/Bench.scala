@@ -120,9 +120,14 @@ object Bench {
         }
         var passes = Vector(onePass())
         val pass1Sec = passes.head.map(_._2).sum
-        // Replay needs ~minReplaySec even at the event floor; only re-pass
-        // the catalog if both still fit.
-        val minReplaySec = 150.0
+        // The headline metric is the replay scaling pair, so the SECOND
+        // catalog pass runs only when the budget still fits a healthy
+        // replay protocol after it: generation + TWO interleaved rounds at
+        // a batch size that amortizes the serial slice + the peak run
+        // (~300 s). A single-pass catalog costs per-query min-of-1
+        // fidelity; a single-round replay costs the interleave rescue on
+        // the NORTH-RULE number — the wrong trade.
+        val minReplaySec = 300.0
         var p = 1
         while (p < qRounds && remainingSec > pass1Sec * 1.2 + minReplaySec) {
           passes :+= onePass()
@@ -285,8 +290,12 @@ object Bench {
     while (r < rounds && !budgetStop &&
         (r < minRounds || cleanRounds(smallCores) == 0 || cleanRounds(bigCores) == 0)) {
       // The first round always runs (events were sized so it fits); later
-      // rounds must fit remaining budget with the peak run reserved.
-      if (r > 0 && remainingSec() < measuredRoundCost + peakCostSec(cfg.totalRows)) {
+      // rounds must fit the remaining budget. The peak run's budget is
+      // reserved only once TWO interleaved rounds exist: a second round
+      // protects the north-rule scaling number (min over clean rounds),
+      // the peak is informational (the 4N number stands in when skipped).
+      val reserve = if (r >= 2) peakCostSec(cfg.totalRows) else 0.0
+      if (r > 0 && remainingSec() < measuredRoundCost + reserve) {
         System.err.println(f"[bench] deadline: stopping after $r rounds " +
           f"(remaining=${remainingSec()}%.0fs < round=${measuredRoundCost}%.0fs + peak)")
         budgetStop = true
