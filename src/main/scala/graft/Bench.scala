@@ -36,9 +36,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     // Child mode: one replay measurement in a FRESH JVM (see replayOnce).
     if (args.length >= 5 && args(0) == "replay-child") {
+      val bw = membwGBs()
       val (secs, steals, sysu, rows) = replayInProcess(args(1).toInt, args(2).toInt, args(3), args(4).toInt)
       println(s"CHILD_RESULT epochs=${secs.mkString(",")} steals=${steals.mkString(",")} " +
-        s"sysu=${sysu.map(v => f"$v%.3f").mkString(",")} rows=$rows")
+        s"sysu=${sysu.map(v => f"$v%.3f").mkString(",")} membw=${f"$bw%.1f"} rows=$rows")
       return
     }
     // Debug mode: generate a change-log directory and exit, so a single
@@ -230,7 +231,7 @@ object Bench {
     // Separate JVMs are also the faithful analogue of separate executor
     // fleets at N vs 4N. Falls back to in-process if the child cannot be
     // launched.
-    def replayOnce(cores: Int, round: Int): (Seq[Double], Seq[Double], Seq[Double], Long) = {
+    def replayOnce(cores: Int, round: Int): (Seq[Double], Seq[Double], Seq[Double], Double, Long) = {
       import scala.jdk.CollectionConverters._
       val cmd = childJvmCmd(Seq("replay-child", cores.toString, round.toString,
         benchDir, nBatches.toString))
@@ -249,11 +250,13 @@ object Bench {
           kv("steals").split(",").toSeq.map(_.toDouble),
           kv.get("sysu").map(_.split(",").toSeq.map(_.toDouble))
             .getOrElse(Seq.fill(nBatches)(0.0)),
+          kv.get("membw").map(_.toDouble).getOrElse(0.0),
           kv("rows").toLong)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] child JVM failed (${e.getMessage}); running in-process")
-          replayInProcess(cores, round, benchDir, nBatches)
+          val (a, b, c, d) = replayInProcess(cores, round, benchDir, nBatches)
+          (a, b, c, 0.0, d)
       }
     }
 
@@ -273,7 +276,7 @@ object Bench {
     val sysUserCleanRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_SYSU_CLEAN", "1.0").toDouble
     val minRounds = math.min(2, rounds)
     final case class Run(cores: Int, secs: Seq[Double], steals: Seq[Double],
-        sysu: Seq[Double], rows: Long) {
+        sysu: Seq[Double], membw: Double, rows: Long) {
       def clean: Boolean = steals.forall(_ <= stealCleanSec) &&
         sysu.forall(_ <= sysUserCleanRatio)
     }
@@ -301,8 +304,9 @@ object Bench {
         budgetStop = true
       } else {
         Seq(smallCores, bigCores).foreach { c =>
-          val (secs, steals, sysu, rows) = replayOnce(c, r)
-          runs :+= Run(c, secs, steals, sysu, rows)
+          val (secs, steals, sysu, membw, rows) = replayOnce(c, r)
+          System.err.println(f"[bench] child cores=$c round=$r membwGBs=$membw%.1f")
+          runs :+= Run(c, secs, steals, sysu, membw, rows)
           updatePartialWithRuns() // after EVERY child, not every round: a
           // SIGTERM mid-round still reports the half-round's evidence
         }
@@ -342,7 +346,7 @@ object Bench {
     // (skipped under deadline pressure — the 4N number then stands in).
     val peak: Option[(Seq[Double], Long)] =
       if (remainingSec() > peakCostSec(cfg.totalRows)) {
-        val (secs, _, _, rows) = replayOnce(cpus, r)
+        val (secs, _, _, _, rows) = replayOnce(cpus, r)
         Some((secs, rows))
       } else {
         System.err.println(f"[bench] deadline: skipping peak run (remaining=${remainingSec()}%.0fs)")
@@ -472,6 +476,8 @@ object Bench {
         f""""headline_source":"$headlineSource","headline_events":$headlineEvents,""" +
         f""""cores_peak":$peakCores,"events_per_sec_peak":$epsPeak%.0f,""" +
         f""""rounds_run":$r,"clean_rounds_n":${cleanRounds(smallCores)},""" +
+        f""""membw_gbs_n":${runs.filter(_.cores == smallCores).map(_.membw).max}%.1f,""" +
+        f""""membw_gbs_4n":${runs.filter(_.cores == bigCores).map(_.membw).max}%.1f,""" +
         f""""clean_rounds_4n":${cleanRounds(bigCores)},"steal_clean_core_sec":$stealCleanSec%.0f,""" +
         probeEff.map(pe => f""""probe_events":${probeCfg.totalRows},"probe_sec_n":${probeBest(smallCores)}%.2f,""" +
           f""""probe_sec_4n":${probeBest(bigCores)}%.2f,"scaling_efficiency_probe":$pe%.3f,""").getOrElse("") +
@@ -516,6 +522,29 @@ object Bench {
       val l = Files.readAllLines(Paths.get("/proc/stat")).get(0)
       l.trim.split("\\s+")(8).toLong
     } catch { case _: Throwable => 0L }
+
+  /** Single-thread memory-bandwidth calibration, GB/s: copy a 256 MB long
+    * array 4 times and take the best pass. A fixed microbenchmark whose
+    * only variable is the HOST — the third external health signal next to
+    * steal and sys/user: co-tenant memory-bandwidth contention slows wide
+    * runs 2× while registering zero steal and normal sys time. Recorded
+    * as evidence per child (not a gate — a real regression should not be
+    * maskable by declaring the host slow).
+    */
+  private def membwGBs(): Double = {
+    val n = 32 * 1024 * 1024 // 256 MB of longs
+    val src = new Array[Long](n)
+    val dst = new Array[Long](n)
+    java.util.Arrays.fill(src, 0x5DEECE66DL)
+    var best = Double.MaxValue
+    (0 until 4).foreach { _ =>
+      val t0 = System.nanoTime()
+      System.arraycopy(src, 0, dst, 0, n)
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    // 2 × 256 MB moved per pass (read + write)
+    (2.0 * n * 8) / best / 1e9
+  }
 
   /** Machine-wide (user+nice, system) jiffies — the STORM detector. This
     * host exhibits windows where the hypervisor's interference is
