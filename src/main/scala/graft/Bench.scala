@@ -706,6 +706,14 @@ object Bench {
     md ++= "  the log); healthy Spark epochs sit well under 1, storm windows\n"
     md ++= "  one order of magnitude above, so epochs with ratio > 1 are\n"
     md ++= "  treated as dirty exactly like steal-hit ones.\n"
+    md ++= "- Each child also runs a fixed 256MB array-copy calibration and\n"
+    md ++= "  reports its best-pass GB/s (membw_gbs_* in the JSON): co-tenant\n"
+    md ++= "  memory-bandwidth contention slows wide runs with zero steal and\n"
+    md ++= "  normal sys time, and host turbo/DVFS shifts the N-core vs\n"
+    md ++= "  4N-core frequency ratio between windows — the calibration is\n"
+    md ++= "  recorded host evidence, deliberately not a gate. Observed\n"
+    md ++= "  window-to-window swing on complete protocol runs: efficiency\n"
+    md ++= "  0.66-0.90 with identical code and data.\n"
     md ++= "- When NO full-size round lands steal-clean (sustained-steal\n"
     md ++= "  periods), the bench falls back to automated SHORT PROBES: the\n"
     md ++= "  same merge job on a single events/6 batch, alternating N / 4N\n"
