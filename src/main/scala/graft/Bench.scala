@@ -275,7 +275,7 @@ object Bench {
     // regimes by an order of magnitude on both sides.
     val sysUserCleanRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_SYSU_CLEAN", "1.0").toDouble
     val minRounds = math.min(2, rounds)
-    final case class Run(cores: Int, secs: Seq[Double], steals: Seq[Double],
+    final case class Run(cores: Int, round: Int, secs: Seq[Double], steals: Seq[Double],
         sysu: Seq[Double], membw: Double, rows: Long) {
       def clean: Boolean = steals.forall(_ <= stealCleanSec) &&
         sysu.forall(_ <= sysUserCleanRatio)
@@ -306,7 +306,7 @@ object Bench {
         Seq(smallCores, bigCores).foreach { c =>
           val (secs, steals, sysu, membw, rows) = replayOnce(c, r)
           System.err.println(f"[bench] child cores=$c round=$r membwGBs=$membw%.1f")
-          runs :+= Run(c, secs, steals, sysu, membw, rows)
+          runs :+= Run(c, r, secs, steals, sysu, membw, rows)
           updatePartialWithRuns() // after EVERY child, not every round: a
           // SIGTERM mid-round still reports the half-round's evidence
         }
@@ -444,6 +444,29 @@ object Bench {
     val ratio = bigCores.toDouble / smallCores
     val effBest = (tSmallBest / tBigBest) / ratio
     val effFloor = (tSmallFloor / tBigFloor) / ratio
+    // Same-round pair efficiencies, reported as EVIDENCE alongside
+    // best/floor (not a headline candidate): a same-round quotient pairs
+    // the two children launched closest in time, but the children still
+    // run sequentially, so a host window shift can split a round just as
+    // it splits the cross-round composites — maximizing over round pairs
+    // would overstate exactly when a degraded-N / healthy-4N split lands.
+    // The per-child membw calibration in the log tells the two cases
+    // apart after the fact.
+    case class Pair(round: Int, tN: Double, t4N: Double, clean: Boolean) {
+      def eff: Double = (tN / t4N) / ratio
+    }
+    val pairs = (0 until r).flatMap { i =>
+      for {
+        n <- runs.find(x => x.cores == smallCores && x.round == i)
+        b <- runs.find(x => x.cores == bigCores && x.round == i)
+      } yield Pair(i, n.secs.sum, b.secs.sum, n.clean && b.clean)
+    }
+    val cleanPairs = pairs.filter(_.clean)
+    val bestPair: Option[Pair] =
+      (if (cleanPairs.nonEmpty) cleanPairs else pairs) match {
+        case Seq() => None
+        case ps => Some(ps.maxBy(_.eff))
+      }
     // Headline selection, by strength of evidence:
     //   1. steal-clean interleaved rounds exist → better of best/floor
     //   2. all rounds dirty but both sides landed a clean short probe →
@@ -472,6 +495,7 @@ object Bench {
         f""""cores_4n":$bigCores,"sec_4n":$tBig%.2f,"events_per_sec_4n":$epsBig%.0f,""" +
         f""""sec_n_best":$tSmallBest%.2f,"sec_4n_best":$tBigBest%.2f,"scaling_efficiency_best":$effBest%.3f,""" +
         f""""sec_n_floor":$tSmallFloor%.2f,"sec_4n_floor":$tBigFloor%.2f,"scaling_efficiency_floor":$effFloor%.3f,""" +
+        bestPair.map(p => f""""scaling_efficiency_pair":${p.eff}%.3f,"pair_round":${p.round},""").getOrElse("") +
         f""""speedup":$speedup%.2f,"scaling_efficiency":$efficiency%.3f,""" +
         f""""headline_source":"$headlineSource","headline_events":$headlineEvents,""" +
         f""""cores_peak":$peakCores,"events_per_sec_peak":$epsPeak%.0f,""" +
