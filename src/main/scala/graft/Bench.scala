@@ -234,7 +234,7 @@ object Bench {
     def replayOnce(cores: Int, round: Int): (Seq[Double], Seq[Double], Seq[Double], Double, Long) = {
       import scala.jdk.CollectionConverters._
       val cmd = childJvmCmd(Seq("replay-child", cores.toString, round.toString,
-        benchDir, nBatches.toString))
+        benchDir, nBatches.toString), cores)
       try {
         val pb = new ProcessBuilder(cmd.asJava)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -383,7 +383,7 @@ object Bench {
         import scala.jdk.CollectionConverters._
         try {
           val cmd = childJvmCmd(Seq("replay-child", cores.toString,
-            (1000 + attempt).toString, probeDir, "1"))
+            (1000 + attempt).toString, probeDir, "1"), cores)
           val pb = new ProcessBuilder(cmd.asJava)
           pb.redirectError(ProcessBuilder.Redirect.INHERIT)
           val p = pb.start()
@@ -523,14 +523,22 @@ object Bench {
     * entirely (10.4/10.9 s epochs where the growing heap measured
     * 37.9/9.2 s).
     */
-  private def childJvmCmd(childArgs: Seq[String]): Seq[String] = {
+  private def childJvmCmd(childArgs: Seq[String], cores: Int): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_HEAP", "12g")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-Xms") || a.startsWith("-Xmx"))
+    // ActiveProcessorCount = the measured core count: local[N] caps only
+    // TASK threads; GC workers, JIT compiler threads and common pools
+    // otherwise size to the machine's 32 vCPUs and run on idle cores —
+    // free parallelism a cgroup-capped N-core executor would not have,
+    // which flatters the narrow side of the scaling quotient. This sizes
+    // every JVM-internal pool to N (the faithful executor model) without
+    // taskset pinning's kernel-migration noise.
     Seq(javaBin) ++ jvmArgs ++ Seq(s"-Xms$heap", s"-Xmx$heap",
+      s"-XX:ActiveProcessorCount=$cores",
       "-cp", sys.props("java.class.path"), "graft.Bench") ++ childArgs
   }
 
