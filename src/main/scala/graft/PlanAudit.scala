@@ -107,6 +107,23 @@ object PlanAudit {
     audit("p6_range_flags",
       "pushed filters" -> (_.contains("PushedFilters: [")))
 
+    // d4's inverted-index self-join runs on the df-guarded index: no token
+    // above the document-frequency cap may reach the join (executed check —
+    // the guard is a semi-join, so the bound is a data property of the
+    // exact relation the join consumes)
+    locally {
+      import org.apache.spark.sql.functions.{col, count, max}
+      val cap = 50L
+      val slice = graft.textops.TextQueries.tokenSets(
+        spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 100))
+      val worst = graft.textops.TextQueries.invertedIndex(slice, cap)
+        .groupBy(col("token")).agg(count(org.apache.spark.sql.functions.lit(1)).as("df"))
+        .agg(max(col("df"))).collect()(0).getLong(0)
+      val ok = worst <= cap
+      if (!ok) failures += 1
+      println(s"[audit] d4_ngram_jaccard :: no token with df > $cap reaches the join (max df = $worst) -> ${if (ok) "OK" else "VIOLATED"}")
+    }
+
     // materialized-pair aggregate: pair expansion is array transforms
     // after a per-order collect, NOT a self-join — exactly two exchanges
     // (per-order collect, per-pair count), both with partial aggregation

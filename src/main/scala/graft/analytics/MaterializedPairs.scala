@@ -53,24 +53,30 @@ object MaterializedPairs {
 
   /** The candidate-pair aggregate (j4's shape): co-occurring part pairs
     * per order with a HAVING floor. Computed WITHOUT a self-join: one
-    * shuffle collects each order's distinct part set, then codegen'd
-    * array expansion emits the C(n,2) ordered pairs — the same pair
-    * volume the join would produce but with HALF the shuffle (the join
-    * exchanges the fact table twice, this exchanges it once) and no join
-    * build side. `collect_set` dedups (order, part) line repeats, so
-    * `count(*)` per pair ≡ the join form's `countDistinct(orderkey)`.
-    * Skew note: an order with n parts emits n²/2 pairs either way; the
-    * expansion happens AFTER the aggregate, on one row per order, so a
-    * hot order costs compute, not shuffle amplification.
+    * shuffle collects each order's distinct part set, then two CHAINED
+    * generators emit the C(n,2) ordered pairs — the same pair volume the
+    * join would produce but with HALF the shuffle (the join exchanges the
+    * fact table twice, this exchanges it once) and no join build side.
+    * `collect_set` dedups (order, part) line repeats, so `count(*)` per
+    * pair ≡ the join form's `countDistinct(orderkey)`.
+    *
+    * Degenerate-order safety: the expansion is STREAMED, never
+    * materialized — `posexplode` emits one row per (anchor, index) and the
+    * second generator explodes a per-anchor `slice` of the set, so peak
+    * per-task memory is O(set size), not O(set²). A pathological order
+    * with 10⁵ distinct parts costs its 5·10⁹ output rows in compute (they
+    * flow straight into the partial count aggregate, which spills), where
+    * a transform×transform expansion would have built all C(n,2) pair
+    * structs inside ONE row's array — an executor OOM no spill can save.
     */
   def candidatePairs(lineitem: DataFrame, minOrders: Long = 2L): DataFrame = {
     val parts = lineitem.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-    val pairs = parts.select(explode(flatten(expr(
-      """transform(ps, (x, i) ->
-        |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2)))"""
-        .stripMargin))).as("pr"))
-    pairs.select(col("pr.p1"), col("pr.p2"))
+    val pairs = parts
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
+      .select(col("p1"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("p2"))
+    pairs
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minOrders)

@@ -36,36 +36,64 @@ object TextQueries {
             count(*) AS n_copies
             FROM documents GROUP BY sha256(text) ORDER BY text_hash"""))
 
-  /** D4 ▸ exact n-gram (token-set) Jaccard near-dup pairs over a bounded
-    * slice, via an inverted-index self-join — the verification stage that
-    * follows MinHash candidate generation at scale.
+  /** The inverted-index relation of a doc slice — one (doc_id, token) row
+    * per DISTINCT token per doc — with the standard frequent-token guard:
+    * tokens whose document frequency exceeds `maxDf` are dropped BEFORE
+    * the self-join (a stopword present in every doc of the verify slice
+    * would contribute |slice|² join rows and ~nothing to Jaccard; the df
+    * cap is the same hot-bucket skip d2/d3/d5 apply at their candidate
+    * sites). Exposed so tests / PlanAudit can assert the guard holds.
     */
+  def invertedIndex(slice: DataFrame, maxDf: Long): DataFrame = {
+    val tok0 = slice.select(col("doc_id"), explode(col("toks")).as("token"))
+    val rare = tok0.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("token"))
+    tok0.join(rare, Seq("token"), "left_semi")
+  }
+
+  /** Tokenized slice: (doc_id, toks) with distinct non-empty lowercased
+    * whitespace tokens per doc.
+    */
+  def tokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(filter(split(lower(col("text")), " "), x => x =!= "")).as("toks"))
+
+  /** D4 ▸ exact n-gram (token-set) Jaccard near-dup pairs via an
+    * inverted-index self-join — the verification stage that follows
+    * MinHash candidate generation at scale. Jaccard is computed over the
+    * df-FILTERED token sets (sizes come from the same guarded index the
+    * join runs on), so the semantics stay exact for the operator as
+    * defined: similarity over the informative (non-ubiquitous) vocabulary.
+    */
+  def ngramJaccardPairs(docs: DataFrame, maxDf: Long = 50L,
+      minJaccard: Double = 0.5): DataFrame = {
+    val tok = invertedIndex(tokenSets(docs), maxDf)
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = tok.as("a")
+      .join(tok.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), "d2")
+      .withColumn("jaccard",
+        round(col("shared") / (col("s1") + col("s2") - col("shared")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+  }
+
   private val d4 = Q("d4_ngram_jaccard",
-    (spark, dir) => {
-      val slice = docs(spark, dir).filter(col("doc_id") < 100)
-        .select(col("doc_id"),
-          array_distinct(filter(split(lower(col("text")), " "), x => x =!= "")).as("toks"))
-      val tok = slice.select(col("doc_id"), explode(col("toks")).as("token"))
-      val sizes = slice.select(col("doc_id"), size(col("toks")).cast("long").as("sz"))
-      val shared = tok.as("a")
-        .join(tok.as("b"),
-          col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), "d2")
-        .withColumn("jaccard",
-          round(col("shared") / (col("s1") + col("s2") - col("shared")), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
-        .orderBy("d1", "d2")
-    },
-    Some("""WITH tok AS (
+    (spark, dir) =>
+      ngramJaccardPairs(docs(spark, dir).filter(col("doc_id") < 100), maxDf = 50L)
+        .orderBy("d1", "d2"),
+    Some("""WITH tok0 AS (
               SELECT DISTINCT doc_id, token FROM (
                 SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
                 FROM documents WHERE doc_id < 100)
               WHERE token <> ''),
+            rare AS (SELECT token FROM tok0 GROUP BY token HAVING count(*) <= 50),
+            tok AS (SELECT t.doc_id, t.token FROM tok0 t JOIN rare USING (token)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
             shared AS (
               SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared

@@ -53,6 +53,25 @@ class MaterializedPairsSpec extends AnyFunSuite {
     }
   }
 
+  test("planted degenerate hot order (10^4 distinct parts) expands without OOM") {
+    import spark.implicits._
+    val n = 10000
+    // one pathological order carrying n distinct parts (C(n,2) ≈ 5·10^7
+    // pairs) plus a few normal orders — the expansion must stream (peak
+    // memory O(n) per task), not materialize the pair array in one row
+    val hot = (0 until n).map(p => (999999L, p.toLong))
+    val normal = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+    val df = (hot ++ normal).toDF("l_orderkey", "l_partkey")
+    val agg = MaterializedPairs.candidatePairs(df, minOrders = 1L)
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_orders")).as("total"))
+      .collect()(0)
+    val expectedHot = n.toLong * (n - 1) / 2
+    // the hot order covers every pair among 0..n-1, including (1,2), which
+    // orders 1 and 2 also carry → same distinct pairs, (1,2) counted thrice
+    assert(agg.getAs[Long]("n_pairs") == expectedHot)
+    assert(agg.getAs[Long]("total") == expectedHot + 2)
+  }
+
   test("re-delivered delta is content-hash fenced; threshold-crossing pair surfaces") {
     val df = facts(100)
     val root = Files.createTempDirectory("graft-mv-fence-").toString

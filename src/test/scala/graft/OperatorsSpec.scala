@@ -38,6 +38,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(falsePairs.isEmpty, s"unexpected pairs: ${falsePairs.mkString(",")}")
   }
 
+  test("d4 jaccard: frequent token skipped before the self-join, pairs from rare tokens only") {
+    import spark.implicits._
+    // every doc carries the hot token "the" (df = 40 > cap); docs 0/1 share
+    // their entire rare vocabulary, all others are rare-disjoint
+    val shared = (0 until 9).map(j => s"dup$j").mkString(" ")
+    val docsDf = ((0 until 38).map(i =>
+      (i.toLong, s"the " + (0 until 9).map(j => s"u${i}x$j").mkString(" "))) ++
+      Seq((100L, s"the $shared"), (101L, s"the $shared")))
+      .toDF("doc_id", "text")
+    // the guard: no token with df > cap reaches the index the join runs on
+    val idx = graft.textops.TextQueries.invertedIndex(
+      graft.textops.TextQueries.tokenSets(docsDf), maxDf = 10L)
+    val maxDf = idx.groupBy("token").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxDf <= 10L, s"token with df=$maxDf leaked past the guard")
+    assert(idx.filter(col("token") === "the").isEmpty)
+    // pairs: only the planted dup pair survives, at jaccard 1.0 over the
+    // rare vocabulary ("the" contributes to neither shared nor sizes)
+    val pairs = graft.textops.TextQueries.ngramJaccardPairs(docsDf, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs.keySet == Set((100L, 101L)))
+    assert(pairs((100L, 101L)) == 1.0)
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, disjoint docs far") {
     val sh = SimilarityQueries.simhash(plantedDocs()).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
