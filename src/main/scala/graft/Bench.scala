@@ -48,7 +48,7 @@ object Bench {
       val (dir, events, nb) = (args(1), args(2).toLong, args(3).toInt)
       val cfg = GenConfig(numEvents = events, numConvs = 5000, maxTurns = 40)
       val s = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
-        appName = "graft-bench-gen")
+        appName = "graft-bench-gen", tmpfsShuffle = true)
       s.sparkContext.setLogLevel("WARN")
       val per = (cfg.totalRows + nb - 1) / nb
       (0 until nb).foreach { b =>
@@ -94,7 +94,7 @@ object Bench {
 
     // ---- 1. operator catalog at local[cpus] ----
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0"
-    val spark = Sessions.local(cpus, appName = "graft-bench")
+    val spark = Sessions.local(cpus, appName = "graft-bench", tmpfsShuffle = true)
     spark.sparkContext.setLogLevel("WARN")
     // Per-query numbers are best-of-R full passes: the host's hypervisor
     // CPU-steal stalls hit whichever query is running when they land
@@ -372,7 +372,7 @@ object Bench {
     var probeBest = Map.empty[Int, Double] // cores -> best clean single-epoch sec
     if (needProbes && remainingSec() > genCostSec(probeCfg.totalRows) + 2 * probeCost) {
       val probeDir = Files.createTempDirectory("graft-probe-").toString
-      val sGen = Sessions.local(cpus, appName = "graft-bench-probegen")
+      val sGen = Sessions.local(cpus, appName = "graft-bench-probegen", tmpfsShuffle = true)
       sGen.sparkContext.setLogLevel("WARN")
       ChangeGen.eventSlice(sGen, probeCfg, 0, probeCfg.totalRows)
         .toDF().write.parquet(s"$probeDir/batch-0")
@@ -601,7 +601,7 @@ object Bench {
     */
   private def replayInProcess(cores: Int, round: Int, benchDir: String,
       nBatches: Int): (Seq[Double], Seq[Double], Seq[Double], Long) = {
-    val s = Sessions.local(cores, appName = s"graft-replay-$cores-r$round")
+    val s = Sessions.local(cores, appName = s"graft-replay-$cores-r$round", tmpfsShuffle = true)
     s.sparkContext.setLogLevel("WARN")
     val root = s"$benchDir/table-$cores-r$round"
     val table = LakeTable.create(s, root, schemaVer = 1, numBuckets = 64)

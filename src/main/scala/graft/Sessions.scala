@@ -7,7 +7,22 @@ import org.apache.spark.sql.SparkSession
   * cores (not the 200 default), UTC session time zone for oracle parity.
   */
 object Sessions {
-  def local(cores: Int, shufflePartitions: Int = -1, appName: String = "graft"): SparkSession = {
+  /** @param tmpfsShuffle opt-in: put shuffle/spill files on /dev/shm when
+    *                     one exists AND has headroom. The LIBRARY default
+    *                     is plain disk — tmpfs is RAM-backed (typically
+    *                     capped at 50% of RAM), so a job that spills
+    *                     precisely because memory is tight could hit
+    *                     ENOSPC or drive the host to OOM where disk would
+    *                     have completed. The BENCH opts in (measured: the
+    *                     8-core merge epoch dropped 10.4 s → 6.3 s once
+    *                     shuffle files stopped hitting the VM's virtio
+    *                     disk — a fixed-bandwidth serializer that capped
+    *                     N→4N scaling; the real-cluster analogue is
+    *                     executors shuffling to local NVMe).
+    *                     SPARK_GRAFT_LOCAL_DIR explicitly overrides both.
+    */
+  def local(cores: Int, shufflePartitions: Int = -1, appName: String = "graft",
+      tmpfsShuffle: Boolean = false): SparkSession = {
     // Shuffle-partition multiplier (default 1 → partitions = cores).
     // Over-partitioning (e.g. ×4) + AQE coalescing balances skewed/
     // straggling reduce tasks across cores; A/B knob for the merge loop.
@@ -16,13 +31,12 @@ object Sessions {
     // SPARK_GRAFT_AQE=0 turns adaptive execution off — an A/B knob for
     // measuring AQE's per-stage driver re-planning cost in the merge loop.
     val aqe = !sys.env.get("SPARK_GRAFT_AQE").contains("0")
-    // Shuffle/spill on tmpfs when the host has one (measured: the 8-core
-    // merge epoch dropped 10.4 s → 6.3 s once shuffle files stopped
-    // hitting the VM's virtio disk — the disk was a fixed-bandwidth
-    // serializer that capped N→4N scaling). The real-cluster analogue is
-    // executors shuffling to local NVMe; SPARK_GRAFT_LOCAL_DIR overrides.
+    val shm = new java.io.File("/dev/shm")
+    // Headroom gate: only use tmpfs with ≥ 8 GiB usable — a bench-scale
+    // shuffle is ≤ low GBs; anything tighter and ENOSPC beats the speedup.
+    val shmOk = shm.isDirectory && shm.getUsableSpace > 8L * (1L << 30)
     val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
-      .orElse(if (new java.io.File("/dev/shm").isDirectory) Some("/dev/shm/graft-spark-local")
+      .orElse(if (tmpfsShuffle && shmOk) Some("/dev/shm/graft-spark-local")
               else None)
     val b = SparkSession.builder()
       .master(s"local[$cores]")

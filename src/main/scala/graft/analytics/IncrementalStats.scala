@@ -45,6 +45,16 @@ object IncrementalStats {
 
   /** Per-group sufficient-stat deltas of one batch of (group_key, theta, w)
     * observations — the map-side-combined single shuffle per batch.
+    *
+    * `_hsum` rides along: the additive per-group sum of each RAW
+    * observation row's xxhash64 (over the batch's exact stored column
+    * values, all columns). Summing per-group sums gives the batch content
+    * hash over the raw rows — order- and partition-independent, and
+    * immune to the float-summation-order instability that hashing the
+    * recomputed double aggregates would have (a redelivered batch summed
+    * in a different partition order could miss the guard and double-count).
+    * [[applyBatch]] folds it into the commit's content hash and drops it
+    * before the merge.
     */
   def deltas(obs: DataFrame): DataFrame =
     obs.groupBy(col("group_key")).agg(
@@ -52,7 +62,8 @@ object IncrementalStats {
       sum(col("w")).as("s1"),
       sum(col("w") * col("w")).as("s2"),
       sum(col("w") * col("theta")).as("st"),
-      sum(col("w") * col("theta") * col("theta")).as("st2"))
+      sum(col("w") * col("theta") * col("theta")).as("st2"),
+      sum(xxhash64(obs.columns.map(col).toSeq: _*).cast(DecimalType(38, 0))).as("_hsum"))
 
   /** Streaming face of the stats table: tail a directory of observation
     * files and MERGE-ADD each micro-batch's sufficient-stat deltas —
@@ -62,11 +73,16 @@ object IncrementalStats {
     * currently present (AvailableNow) and waits.
     */
   def streamAvailable(spark: SparkSession, table: LakeTable, obsDir: String,
-      checkpointDir: String, obsSchema: StructType,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      checkpointDir: String, obsSchema: StructType): Unit = {
     val wid = graft.cdc.CdcStream.writerIdOf(checkpointDir)
+    // maxFilesPerTrigger is PINNED to 1, not exposed: the content-hash
+    // redelivery guard compares whole batches, so it assumes a restarted
+    // stream re-chunks the source into the SAME batches. One file per
+    // batch makes batch boundaries a property of the (immutable) source
+    // files rather than of trigger timing — the only chunking for which
+    // that assumption always holds.
     val q = spark.readStream.schema(obsSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(obsDir)
+      .option("maxFilesPerTrigger", 1).parquet(obsDir)
       .writeStream.option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         applyBatch(table, deltas(batch), epochId, writerId = wid); ()
@@ -94,14 +110,24 @@ object IncrementalStats {
     val cur = table.current
     if (table.fenced(cur, epochId, writerId)) return false
     val b = cur.numBuckets
+    // Batch content hash over the RAW observation rows (folded from the
+    // per-group `_hsum` sums deltas() carries — exact values, no float
+    // recomputation), falling back to hashing the delta columns when the
+    // caller built its own delta without `_hsum`.
+    val bhCol =
+      if (delta.columns.contains("_hsum")) LakeTable.batchContentHashFromSums(col("_hsum"))
+      else LakeTable.batchContentHash(Seq(col("group_key"), col("k"), col("s1"),
+        col("s2"), col("st"), col("st2")))
     val head = delta.agg(
       count(lit(1)).as("n"),
       collect_set(MergeApply.bucketOf(col("group_key"), b)).as("touched"),
-      LakeTable.batchContentHash(Seq(col("group_key"), col("k"), col("s1"),
-        col("s2"), col("st"), col("st2"))).as("bh")).collect()(0)
+      bhCol.as("bh")).collect()(0)
     if (head.getAs[Long]("n") == 0L) return false
     val batchHash = head.getAs[Long]("bh")
-    if (cur.batchHashes.contains(batchHash)) return false
+    // early exit before writing data files — scoped like the commit-level
+    // fence (only a not-yet-established writer is hash-checked)
+    if (!table.establishedWriter(cur, writerId) &&
+        cur.batchHashes.contains(batchHash)) return false
     val touched: Set[Int] = head.getAs[Seq[Int]]("touched").toSet
 
     val current = table.readConformed(cur, Some(touched))

@@ -124,7 +124,11 @@ object MaterializedPairs {
       .collect()(0)
     if (head.getAs[Long]("n") == 0L) return false
     val batchHash = head.getAs[Long]("bh")
-    if (cur.batchHashes.contains(batchHash)) return false
+    // early exit before writing data files — scoped like the commit-level
+    // fence: only a NOT-yet-established writer (checkpoint-swap redelivery
+    // window) is hash-checked; commit re-checks under the same rule
+    if (!table.establishedWriter(cur, writerId) &&
+        cur.batchHashes.contains(batchHash)) return false
     val touched: Set[Int] = head.getAs[Seq[Int]]("touched").toSet
 
     val stored = table.readConformed(cur, Some(touched))

@@ -96,7 +96,12 @@ object Scd2History {
       .collect()(0)
     if (head.getAs[Long]("n") == 0L) return false
     val batchHash = head.getAs[Long]("bh")
-    if (cur.batchHashes.contains(batchHash)) return false
+    // early exit before writing data files — scoped like the commit-level
+    // fence: only a NOT-yet-established writer (checkpoint-swap redelivery
+    // window) is hash-checked; a genuinely new batch from an established
+    // writer that happens to repeat old content must still apply
+    if (!table.establishedWriter(cur, writerId) &&
+        cur.batchHashes.contains(batchHash)) return false
     val touched: Set[Int] = head.getAs[Seq[Int]]("touched").toSet
 
     // 1. incoming versions: each record opens a version, closed within the

@@ -255,7 +255,21 @@ final class LakeTable(
       batchHash: Option[Long] = None): CommitResult = synchronized {
     val cur = current
     if (fenced(cur, epochId, writerId)) return CommitResult(cur, applied = false)
-    if (batchHash.exists(cur.batchHashes.contains)) return CommitResult(cur, applied = false)
+    // The content-hash fence exists for exactly ONE window: a stream
+    // restarted with a fresh checkpoint (new writerId, epochs back at 0)
+    // re-delivering batches the previous writer already applied. For an
+    // ESTABLISHED writer the per-writer epoch fence already covers
+    // redelivery, so consulting the hash there can only produce false
+    // positives — two genuinely distinct batches with identical content
+    // (plausible for the ADD-merge stats kernel, where two observation
+    // batches can yield identical per-group deltas) would be silently
+    // dropped. Scope the check to writers with no watermark yet, and log
+    // when it fires so a hash-fenced commit is observable, never silent.
+    if (batchHash.exists(cur.batchHashes.contains) && !establishedWriter(cur, writerId)) {
+      System.err.println(s"[lake] content-hash fence: writer '$writerId' epoch $epochId " +
+        s"re-delivered an already-applied batch (hash ${batchHash.get}) — commit skipped")
+      return CommitResult(cur, applied = false)
+    }
     val kept = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
     val allFiles = kept ++ newFiles
     // Live-row count is exact from manifest stats while the one-version-
@@ -302,6 +316,17 @@ final class LakeTable(
   def fenced(cur: Snapshot, epochId: Long, writerId: String): Boolean =
     epochId >= 0 && (cur.writerEpochs.get(writerId).exists(_ >= epochId) ||
       (cur.writerId == writerId && cur.epochId >= epochId))
+
+  /** A writer is ESTABLISHED once it holds an epoch watermark in the
+    * current snapshot — from then on the epoch fence alone covers its
+    * redelivery window, and the content-hash fence (which exists for the
+    * checkpoint-swap window, where a NEW writer re-delivers old content)
+    * must not be consulted for it: a genuinely new batch that happens to
+    * hash like an old one would be silently dropped.
+    */
+  def establishedWriter(cur: Snapshot, writerId: String): Boolean =
+    cur.writerEpochs.contains(writerId) ||
+      (cur.writerId == writerId && cur.epochId >= 0)
 
   private def swapCurrent(id: Long): Unit = {
     val tmp = new Path(metaDir, s"._current.tmp-$id")
@@ -369,25 +394,35 @@ final class LakeTable(
     try {
       val futures = found.toSeq.map { case (p, bucket) =>
         pool.submit(new java.util.concurrent.Callable[(Path, Int, Long, Long)] {
-          def call(): (Path, Int, Long, Long) = {
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          def call(): (Path, Int, Long, Long) =
+            // A transiently unreadable footer must NOT abort the commit
+            // (the data files are already written) — degrade that file to
+            // "unknown" and let the bounded Spark rescue job below read it;
+            // only a file Spark itself cannot read then fails the epoch.
             try {
-              val blocks = reader.getFooter.getBlocks.asScala
-              val rows = blocks.map(_.getRowCount).sum
-              // dead = Σ null counts of `_live`; -1 when any chunk lacks them
-              var dead = 0L
-              var known = true
-              blocks.foreach { b =>
-                b.getColumns.asScala.find(_.getPath.toDotString == "_live") match {
-                  case Some(c) if c.getStatistics != null && c.getStatistics.isNumNullsSet =>
-                    dead += c.getStatistics.getNumNulls
-                  case _ => known = false
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try {
+                val blocks = reader.getFooter.getBlocks.asScala
+                val rows = blocks.map(_.getRowCount).sum
+                // dead = Σ null counts of `_live`; -1 when any chunk lacks them
+                var dead = 0L
+                var known = true
+                blocks.foreach { b =>
+                  b.getColumns.asScala.find(_.getPath.toDotString == "_live") match {
+                    case Some(c) if c.getStatistics != null && c.getStatistics.isNumNullsSet =>
+                      dead += c.getStatistics.getNumNulls
+                    case _ => known = false
+                  }
                 }
-              }
-              (p, bucket, rows, if (known) rows - dead else -1L)
-            } finally reader.close()
-          }
+                (p, bucket, rows, if (known) rows - dead else -1L)
+              } finally reader.close()
+            } catch {
+              case e: Exception =>
+                System.err.println(s"[lake] footer read failed for $p (${e.getClass.getSimpleName}: " +
+                  s"${e.getMessage}) — routing through the Spark rescue pass")
+                (p, bucket, -1L, -1L)
+            }
         })
       }
       val stats = futures.map(_.get())
@@ -399,10 +434,16 @@ final class LakeTable(
             .parquet(unknown.map(_._1.toString): _*)
             .select(input_file_name().as("f"), col("_deleted"))
             .groupBy(col("f"))
-            .agg(sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
-            .collect().map(r => new Path(new java.net.URI(r.getString(0))).toString -> r.getLong(1))
+            .agg(count(lit(1)).as("rows"),
+              sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
+            .collect()
+            .map(r => new Path(new java.net.URI(r.getString(0))).toString ->
+              (r.getLong(1), r.getLong(2)))
             .toMap
-          unknown.map { case (p, b, rows, _) => (p, b, rows, byPath.getOrElse(p.toString, 0L)) }
+          unknown.map { case (p, b, rows0, _) =>
+            val (rows, live) = byPath.getOrElse(p.toString, (0L, 0L))
+            (p, b, if (rows0 >= 0) rows0 else rows, live)
+          }
         }
       (ok ++ rescued).map { case (p, bucket, rows, live) =>
         FileEntry(p.toString, bucket, schemaVer, rows, live, kind)
@@ -481,6 +522,15 @@ object LakeTable {
   def batchContentHash(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
     pmod(sum(xxhash64(cols: _*).cast(DecimalType(38, 0))),
       lit(new java.math.BigDecimal(Long.MaxValue))).cast(LongType)
+
+  /** Fold PRE-AGGREGATED per-row-hash sums (decimal(38,0) partial sums of
+    * xxhash64 over raw rows, e.g. the `_hsum` column
+    * [[graft.analytics.IncrementalStats.deltas]] carries) into the same
+    * hash space as [[batchContentHash]] — lets a batch be content-hashed
+    * over its RAW rows even when only an aggregate of the batch is in hand.
+    */
+  def batchContentHashFromSums(hsum: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(sum(hsum), lit(new java.math.BigDecimal(Long.MaxValue))).cast(LongType)
 
   /** FIFO cap on remembered batch content hashes: the re-delivery window
     * after a checkpoint swap is bounded (a restarted stream re-reads at

@@ -107,6 +107,20 @@ class IncrementalStatsSpec extends AnyFunSuite {
     assert(stateOf(table) == finalState)
   }
 
+  test("established writer: a genuinely NEW batch with identical content is " +
+      "applied, not hash-fenced (the fence is scoped to the checkpoint-swap window)") {
+    val root = Files.createTempDirectory("graft-stats-samecontent-").toString
+    val table = IncrementalStats.createTable(spark, root, numBuckets = 4)
+    import spark.implicits._
+    // two DISTINCT observation batches that happen to carry byte-identical
+    // rows (same sensor emitting the same reading twice) — for an
+    // established writer the epoch fence governs, and both must count
+    val sameContent = Seq(("g0", 1.0, 0.5, 1L)).toDF("group_key", "theta", "w", "id")
+    assert(IncrementalStats.applyBatch(table, IncrementalStats.deltas(sameContent), 0L, writerId = "w1"))
+    assert(IncrementalStats.applyBatch(table, IncrementalStats.deltas(sameContent), 1L, writerId = "w1"))
+    assert(stateOf(table)("g0")._1 == 2L, "identical-content batch from an established writer was dropped")
+  }
+
   test("streaming ingest: fresh-checkpoint re-delivery is hash-fenced, " +
       "new files still apply (end-to-end exactly-once)") {
     val data = obs(800)
