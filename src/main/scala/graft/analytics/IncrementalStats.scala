@@ -146,7 +146,8 @@ object IncrementalStats {
     val oldLive = cur.files.filter(f => touched.contains(f.bucket)).map(_.live).sum
     table.commit(files, touched, epochId, schemaVer = 1,
       rowDelta = newLive - oldLive, maxLsnSeen = epochId,
-      writerId = writerId, batchHash = Some(batchHash)).applied
+      writerId = writerId, batchHash = Some(batchHash),
+      baseSnapshotId = cur.id).applied
   }
 
   /** Pooled DerSimonian–Laird columns from the stored state — identical

@@ -100,7 +100,7 @@ object MaterializedPairs {
     // full refresh: REPLACE every bucket (stale pairs must vanish)
     table.commit(files, (0 until b).toSet, epochId, schemaVer = 1,
       rowDelta = newLive - math.max(0L, cur.rows), maxLsnSeen = epochId,
-      writerId = writerId).applied
+      writerId = writerId, baseSnapshotId = cur.id).applied
   }
 
   /** Fold one fact DELTA into the stored counts. The delta must carry
@@ -147,7 +147,8 @@ object MaterializedPairs {
     val oldLive = cur.files.filter(f => touched.contains(f.bucket)).map(_.live).sum
     table.commit(files, touched, epochId, schemaVer = 1,
       rowDelta = newLive - oldLive, maxLsnSeen = epochId,
-      writerId = writerId, batchHash = Some(batchHash)).applied
+      writerId = writerId, batchHash = Some(batchHash),
+      baseSnapshotId = cur.id).applied
   }
 
   /** The analytics view: stored counts with the HAVING floor applied at

@@ -256,7 +256,7 @@ object MergeApply {
       if (isMor) Set.empty else touched, epochId, newVer,
       rowDelta = newLive - oldLive, maxLsnSeen = batchMaxLsn,
       writerId = writerId, inputEvents = inputEvents, dedupedKeys = newKeys,
-      mergeMs = elapsedMs(t0)))
+      mergeMs = elapsedMs(t0), baseSnapshotId = cur.id))
     BatchStats(epochId, res.applied, res.snapshot.id, inputEvents, newKeys,
       touched.size, newVer, res.snapshot.maxLsn, res.snapshot.rows, elapsedMs(t0),
       observedRows = obsRows, observedLive = obsLive,

@@ -143,7 +143,8 @@ object Scd2History {
     val oldLive = cur.files.filter(f => touched.contains(f.bucket)).map(_.live).sum
     table.commit(files, touched, epochId, schemaVer = 1,
       rowDelta = newLive - oldLive, maxLsnSeen = epochId,
-      writerId = writerId, batchHash = Some(batchHash)).applied
+      writerId = writerId, batchHash = Some(batchHash),
+      baseSnapshotId = cur.id).applied
   }
 
   /** Driver catalog entry: build the SCD2 history of the events table

@@ -69,6 +69,13 @@ object FileEntry {
   *                  Docs/etl_requirements_reviewed_by_sr.md:162-165).
   *                  FIFO-capped: the redelivery window after a checkpoint
   *                  swap is bounded, so only recent hashes matter.
+  * @param touched  buckets this commit replaced or appended to — the
+  *                  commit's WRITE SET, persisted so a concurrent committer
+  *                  rebasing over this snapshot can detect write-set
+  *                  overlap (serializable conflict check). None on
+  *                  manifests written before the field existed: an unknown
+  *                  write set conflicts with everything (fail loud, never
+  *                  lose a commit).
   */
 final case class Snapshot(
     id: Long,
@@ -84,12 +91,21 @@ final case class Snapshot(
     dedupedKeys: Long = -1L,
     mergeMs: Long = -1L,
     writerEpochs: Map[String, Long] = Map.empty,
-    batchHashes: Seq[Long] = Nil)
+    batchHashes: Seq[Long] = Nil,
+    touched: Option[Seq[Int]] = None)
 
 /** Result of a commit attempt: either applied (new snapshot) or fenced
   * (this epoch was already committed — idempotent replay no-op).
   */
 final case class CommitResult(snapshot: Snapshot, applied: Boolean)
+
+/** Thrown when a commit cannot be applied without losing a concurrent
+  * committer's rows (write-set overlap with a missed commit), or when the
+  * snapshot-claim race cannot be resolved within the retry/wait budget.
+  * Loud failure is the contract: the caller re-reads current state and
+  * re-derives its files; nothing is ever silently dropped.
+  */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 /** A minimal snapshot-committed Parquet table ("lake table"), the target
   * of the CDC merge-apply engine.
@@ -117,9 +133,19 @@ final case class CommitResult(snapshot: Snapshot, applied: Boolean)
   *     real catalog (documented limitation, matching Iceberg's own
   *     HadoopCatalog caveat).
   *
-  * Single-writer assumption: one streaming query maintains the table
-  * (true of the engine's design); the epoch fence additionally makes
-  * replayed commits no-ops, so crash-restart is safe.
+  * Multi-writer safety: commits are optimistic-concurrency. A committer
+  * CLAIMS its snapshot id by create-exclusive manifest write — two
+  * committers racing for `snap-N` cannot both win; the loser waits for
+  * `_current` to advance, re-validates its write set (bucket overlap
+  * against the commits it missed, tracked via each snapshot's persisted
+  * `touched` set) and retries on the new parent, or fails LOUDLY with
+  * [[CommitConflictException]] when the write sets overlap — never a
+  * silently lost snapshot. This covers the real deployment shape the
+  * single-writer design left open: a CDC stream plus an out-of-band
+  * maintenance job (compaction) committing from a second driver.
+  * Append-only commits (merge-on-read deltas, `replacedBuckets` empty)
+  * rebase unconditionally, like Iceberg appends. Within one JVM, commits
+  * on the same instance additionally serialize on the instance lock.
   */
 /** @param registry versioned schema registry of the table's PUBLIC schema
   *                  (defaults to the transcript registry — the engine's
@@ -151,8 +177,23 @@ final class LakeTable(
   // ---- metadata ----
 
   def current: Snapshot = {
-    val name = readString(fs, currentPtr).trim
-    readManifest(fs, new Path(metaDir, name))
+    // Bounded retry on not-found: HDFS/POSIX renames are atomic, but
+    // Hadoop's local-FS FileContext rename(OVERWRITE) deletes the
+    // destination before renaming — a concurrent reader can land in that
+    // window. swapCurrent uses NIO ATOMIC_MOVE on file:// so the window is
+    // closed there; the retry covers any other FS with the same flaw.
+    var lastErr: java.io.FileNotFoundException = null
+    var i = 0
+    while (i < 40) {
+      try {
+        val name = readString(fs, currentPtr).trim
+        return readManifest(fs, new Path(metaDir, name))
+      } catch {
+        case e: java.io.FileNotFoundException => lastErr = e; Thread.sleep(10)
+      }
+      i += 1
+    }
+    throw lastErr
   }
 
   def snapshotIds: Seq[Long] = {
@@ -240,6 +281,20 @@ final class LakeTable(
     * committed this epoch or a later one, the commit is fenced: nothing is
     * written and the existing snapshot is returned (`applied = false`) —
     * this is the exactly-once guarantee under foreachBatch replay.
+    *
+    * Concurrency: the snapshot id is CLAIMED by create-exclusive manifest
+    * write, so two committers (separate drivers — e.g. the CDC stream plus
+    * an out-of-band compaction) cannot both win `snap-N`. The loser waits
+    * for `_current` to advance and retries on the new parent — but only
+    * after validating that none of the commits it missed touched its own
+    * write set. `baseSnapshotId` is the snapshot the CALLER derived
+    * `newFiles` from (its read set); when commits landed since, and any of
+    * them replaced one of our buckets, retrying would silently drop those
+    * rows — so the commit throws [[CommitConflictException]] instead (the
+    * caller re-reads and re-derives). Append-only commits
+    * (`replacedBuckets` empty) rebase unconditionally, like Iceberg
+    * appends: their files derive only from batch input, never from table
+    * state.
     */
   def commit(
       newFiles: Seq[FileEntry],
@@ -252,57 +307,127 @@ final class LakeTable(
       inputEvents: Long = -1L,
       dedupedKeys: Long = -1L,
       mergeMs: Long = -1L,
-      batchHash: Option[Long] = None): CommitResult = synchronized {
-    val cur = current
-    if (fenced(cur, epochId, writerId)) return CommitResult(cur, applied = false)
-    // The content-hash fence exists for exactly ONE window: a stream
-    // restarted with a fresh checkpoint (new writerId, epochs back at 0)
-    // re-delivering batches the previous writer already applied. For an
-    // ESTABLISHED writer the per-writer epoch fence already covers
-    // redelivery, so consulting the hash there can only produce false
-    // positives — two genuinely distinct batches with identical content
-    // (plausible for the ADD-merge stats kernel, where two observation
-    // batches can yield identical per-group deltas) would be silently
-    // dropped. Scope the check to writers with no watermark yet, and log
-    // when it fires so a hash-fenced commit is observable, never silent.
-    if (batchHash.exists(cur.batchHashes.contains) && !establishedWriter(cur, writerId)) {
-      System.err.println(s"[lake] content-hash fence: writer '$writerId' epoch $epochId " +
-        s"re-delivered an already-applied batch (hash ${batchHash.get}) — commit skipped")
-      return CommitResult(cur, applied = false)
+      batchHash: Option[Long] = None,
+      baseSnapshotId: Long = -1L): CommitResult = synchronized {
+    var attempt = 0
+    while (attempt <= maxCommitRetries) {
+      val cur = current
+      if (fenced(cur, epochId, writerId)) return CommitResult(cur, applied = false)
+      // The content-hash fence exists for exactly ONE window: a stream
+      // restarted with a fresh checkpoint (new writerId, epochs back at 0)
+      // re-delivering batches the previous writer already applied. For an
+      // ESTABLISHED writer the per-writer epoch fence already covers
+      // redelivery, so consulting the hash there can only produce false
+      // positives — two genuinely distinct batches with identical content
+      // (plausible for the ADD-merge stats kernel, where two observation
+      // batches can yield identical per-group deltas) would be silently
+      // dropped. Scope the check to writers with no watermark yet, and log
+      // when it fires so a hash-fenced commit is observable, never silent.
+      if (batchHash.exists(cur.batchHashes.contains) && !establishedWriter(cur, writerId)) {
+        System.err.println(s"[lake] content-hash fence: writer '$writerId' epoch $epochId " +
+          s"re-delivered an already-applied batch (hash ${batchHash.get}) — commit skipped")
+        return CommitResult(cur, applied = false)
+      }
+      // Serializable check for bucket-replacing commits: if the table moved
+      // past the snapshot our files were derived from, every missed commit
+      // must be write-set-disjoint from ours, else rows it wrote to our
+      // buckets would vanish under the blind file replacement below.
+      if (replacedBuckets.nonEmpty && baseSnapshotId >= 0 && cur.id != baseSnapshotId)
+        validateDisjointSince(baseSnapshotId, cur, replacedBuckets, writerId)
+      val kept = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
+      val allFiles = kept ++ newFiles
+      // Live-row count is exact from manifest stats while the one-version-
+      // per-key invariant holds (no unresolved delta files). With deltas
+      // pending it is UNKNOWN (-1) until compaction folds them — a delta row
+      // may shadow a base row, so summing would double-count; Iceberg's MoR
+      // record_count has the same caveat.
+      val rows =
+        if (allFiles.exists(_.kind == FileEntry.Delta)) -1L
+        else if (allFiles.forall(_.live >= 0L)) allFiles.map(_.live).sum
+        else cur.rows + rowDelta
+      val snap = Snapshot(
+        id = cur.id + 1,
+        parent = cur.id,
+        epochId = if (epochId >= 0) epochId else cur.epochId,
+        schemaVer = math.max(schemaVer, cur.schemaVer),
+        numBuckets = cur.numBuckets,
+        rows = rows,
+        maxLsn = math.max(maxLsnSeen, cur.maxLsn),
+        files = allFiles,
+        writerId = if (epochId >= 0) writerId else cur.writerId,
+        inputEvents = inputEvents,
+        dedupedKeys = dedupedKeys,
+        mergeMs = mergeMs,
+        writerEpochs =
+          if (epochId >= 0)
+            cur.writerEpochs.updated(writerId,
+              math.max(epochId, cur.writerEpochs.getOrElse(writerId, -1L)))
+          else cur.writerEpochs,
+        batchHashes = (cur.batchHashes ++ batchHash).takeRight(maxBatchHashes),
+        touched = Some((replacedBuckets ++ newFiles.map(_.bucket)).toSeq.distinct.sorted))
+      if (writeStringExclusive(fs, snapPath(snap.id), manifestJson(snap))) {
+        swapCurrent(snap.id)
+        return CommitResult(snap, applied = true)
+      }
+      // Claim lost: another committer owns snap-(cur.id+1). Wait for its
+      // `_current` swap to land, then loop (re-fence, re-validate, re-id).
+      // Jittered exponential backoff breaks claim lockstep: without it two
+      // steady committers re-synchronize on every swap and re-race for
+      // each next id, and one can lose every round.
+      attempt += 1
+      awaitCurrentAdvance(cur.id, writerId)
+      Thread.sleep(1 + java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(4L << math.min(attempt, 7)))
     }
-    val kept = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
-    val allFiles = kept ++ newFiles
-    // Live-row count is exact from manifest stats while the one-version-
-    // per-key invariant holds (no unresolved delta files). With deltas
-    // pending it is UNKNOWN (-1) until compaction folds them — a delta row
-    // may shadow a base row, so summing would double-count; Iceberg's MoR
-    // record_count has the same caveat.
-    val rows =
-      if (allFiles.exists(_.kind == FileEntry.Delta)) -1L
-      else if (allFiles.forall(_.live >= 0L)) allFiles.map(_.live).sum
-      else cur.rows + rowDelta
-    val snap = Snapshot(
-      id = cur.id + 1,
-      parent = cur.id,
-      epochId = if (epochId >= 0) epochId else cur.epochId,
-      schemaVer = math.max(schemaVer, cur.schemaVer),
-      numBuckets = cur.numBuckets,
-      rows = rows,
-      maxLsn = math.max(maxLsnSeen, cur.maxLsn),
-      files = allFiles,
-      writerId = if (epochId >= 0) writerId else cur.writerId,
-      inputEvents = inputEvents,
-      dedupedKeys = dedupedKeys,
-      mergeMs = mergeMs,
-      writerEpochs =
-        if (epochId >= 0)
-          cur.writerEpochs.updated(writerId,
-            math.max(epochId, cur.writerEpochs.getOrElse(writerId, -1L)))
-        else cur.writerEpochs,
-      batchHashes = (cur.batchHashes ++ batchHash).takeRight(maxBatchHashes))
-    writeManifest(fs, snapPath(snap.id), snap)
-    swapCurrent(snap.id)
-    CommitResult(snap, applied = true)
+    throw new CommitConflictException(
+      s"commit by writer '$writerId' lost the snapshot-claim race $maxCommitRetries times at $root")
+  }
+
+  /** Assert that every snapshot in (base, cur] has a write set disjoint
+    * from `ours`. A missed commit with an unknown write set (pre-`touched`
+    * manifest, or already expired) conflicts by definition: failing loud
+    * beats silently dropping its rows.
+    */
+  private def validateDisjointSince(base: Long, cur: Snapshot, ours: Set[Int],
+      writerId: String): Unit = {
+    var id = cur.id
+    var s = cur
+    while (id > base) {
+      val overlap = s.touched match {
+        case Some(t) => t.filter(ours.contains)
+        case None => Seq(-1) // unknown write set — conflict
+      }
+      if (overlap.nonEmpty)
+        throw new CommitConflictException(
+          s"concurrent commit conflict at $root: snapshot $id (writer '${s.writerId}') " +
+            s"touched buckets ${overlap.mkString(",")} that writer '$writerId' derived its " +
+            s"files from (base snapshot $base) — re-read and retry")
+      id = s.parent
+      if (id > base) s =
+        try snapshot(id)
+        catch {
+          case e: Exception => throw new CommitConflictException(
+            s"concurrent commit conflict at $root: snapshot $id expired before writer " +
+              s"'$writerId' (base $base) could validate against it (${e.getMessage})")
+        }
+    }
+  }
+
+  /** Bounded wait for a racing committer's `_current` swap. A claimer that
+    * crashed between manifest write and swap leaves its id orphaned — after
+    * the wait budget the commit throws (operator intervention: delete the
+    * orphaned `snap-N.json`), which is loud, bounded, and loses nothing.
+    */
+  private def awaitCurrentAdvance(beyondId: Long, writerId: String): Unit = {
+    val deadline = System.nanoTime() + claimWaitMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      if (current.id > beyondId) return
+      Thread.sleep(25)
+    }
+    throw new CommitConflictException(
+      s"commit by writer '$writerId' at $root: snapshot ${beyondId + 1} is claimed but " +
+        s"_current did not advance within ${claimWaitMs} ms — a racing committer may have " +
+        "crashed between claim and swap (delete its orphaned manifest to recover)")
   }
 
   /** Epoch fence, scoped per writer identity: a commit is a replay no-op
@@ -329,10 +454,30 @@ final class LakeTable(
       (cur.writerId == writerId && cur.epochId >= 0)
 
   private def swapCurrent(id: Long): Unit = {
-    val tmp = new Path(metaDir, s"._current.tmp-$id")
-    writeString(fs, tmp, snapPath(id).getName)
-    val fc = FileContext.getFileContext(rootPath.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(tmp, currentPtr, Options.Rename.OVERWRITE)
+    val scheme = Option(rootPath.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      // True atomic replace on POSIX via NIO — Hadoop's local FileContext
+      // rename(OVERWRITE) is delete-then-rename, which exposes a missing
+      // `_current` to concurrent readers. Written outside the checksum
+      // layer; the stale `.crc` shadow (from the initial Hadoop-written
+      // pointer) goes first so no reader ever pairs new content with an
+      // old checksum.
+      val crc = new Path(metaDir, s".${currentPtr.getName}.crc")
+      if (fs.exists(crc)) fs.delete(crc, false)
+      val tmpNio = java.nio.file.Paths.get(
+        new Path(metaDir, s"._current.tmp-$id").toUri.getPath)
+      java.nio.file.Files.write(tmpNio,
+        snapPath(id).getName.getBytes(StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmpNio,
+        java.nio.file.Paths.get(currentPtr.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(metaDir, s"._current.tmp-$id")
+      writeString(fs, tmp, snapPath(id).getName)
+      val fc = FileContext.getFileContext(rootPath.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(tmp, currentPtr, Options.Rename.OVERWRITE)
+    }
   }
 
   // ---- data file write helper ----
@@ -478,7 +623,8 @@ final class LakeTable(
     if (dropTombstonesBelowLsn >= 0)
       df = df.filter(!col("_deleted") || col("_lsn") >= dropTombstonesBelowLsn)
     val files = writeDataFiles(df.repartition(math.max(1, fat.size), col("_bucket")), cur.schemaVer)
-    commit(files, fat, epochId = -1, schemaVer = cur.schemaVer, rowDelta = 0L, maxLsnSeen = cur.maxLsn)
+    commit(files, fat, epochId = -1, schemaVer = cur.schemaVer, rowDelta = 0L,
+      maxLsnSeen = cur.maxLsn, baseSnapshotId = cur.id)
   }
 
   /** Expire all but the last `keepLast` snapshots and GC data files no kept
@@ -539,6 +685,20 @@ object LakeTable {
     */
   val maxBatchHashes = 4096
 
+  /** How many times a commit re-runs the claim loop after losing the
+    * snapshot-id race (each loss means another committer landed — the
+    * retry rebases onto its snapshot after the write-set check). Sized so
+    * that exhausting it means a genuinely pathological committer storm,
+    * not two steady writers in momentary lockstep.
+    */
+  val maxCommitRetries = 16
+
+  /** Wait budget (ms) for a racing claimer's `_current` swap to land
+    * before declaring it crashed. sys-prop override for tests.
+    */
+  def claimWaitMs: Long =
+    sys.props.get("graft.lake.claimWaitMs").map(_.toLong).getOrElse(5000L)
+
   /** Create an empty table at `root` with an initial schema version. */
   def create(
       spark: SparkSession, root: String, schemaVer: Int, numBuckets: Int,
@@ -594,11 +754,12 @@ object LakeTable {
     val we = s.writerEpochs.toSeq.sortBy(_._1)
       .map { case (w, e) => s"""{"w":"${esc(w)}","e":$e}""" }.mkString("[", ",", "]")
     val bh = s.batchHashes.mkString("[", ",", "]")
+    val tb = s.touched.map(_.mkString(""""touched":[""", ",", "],")).getOrElse("")
     s"""{"id":${s.id},"parent":${s.parent},"epochId":${s.epochId},"schemaVer":${s.schemaVer},""" +
       s""""numBuckets":${s.numBuckets},"rows":${s.rows},"maxLsn":${s.maxLsn},""" +
       s""""writer":"${esc(s.writerId)}","inputEvents":${s.inputEvents},""" +
       s""""dedupedKeys":${s.dedupedKeys},"mergeMs":${s.mergeMs},""" +
-      s""""writerEpochs":$we,"batchHashes":$bh,"files":$files}"""
+      s"""$tb"writerEpochs":$we,"batchHashes":$bh,"files":$files}"""
   }
 
   private[lake] def parseManifest(json: String): Snapshot = {
@@ -622,13 +783,16 @@ object LakeTable {
     val batchHashes: Seq[Long] =
       if (!n.has("batchHashes")) Nil
       else (0 until n.get("batchHashes").size()).map(i => n.get("batchHashes").get(i).asLong())
+    val touched: Option[Seq[Int]] =
+      if (!n.has("touched")) None
+      else Some((0 until n.get("touched").size()).map(i => n.get("touched").get(i).asInt()))
     Snapshot(n.get("id").asLong(), n.get("parent").asLong(), n.get("epochId").asLong(),
       n.get("schemaVer").asInt(), n.get("numBuckets").asInt(), n.get("rows").asLong(),
       n.get("maxLsn").asLong(), files,
       writerId = if (n.has("writer")) n.get("writer").asText() else "",
       inputEvents = optLong("inputEvents"), dedupedKeys = optLong("dedupedKeys"),
       mergeMs = optLong("mergeMs"),
-      writerEpochs = writerEpochs, batchHashes = batchHashes)
+      writerEpochs = writerEpochs, batchHashes = batchHashes, touched = touched)
   }
 
   private def writeManifest(fs: FileSystem, p: Path, s: Snapshot): Unit =
@@ -641,6 +805,35 @@ object LakeTable {
     val out = fs.create(p, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
+
+  /** Create-exclusive write — the snapshot-id CLAIM primitive. Returns
+    * false when another committer already owns `p`. On the file scheme
+    * this MUST be NIO `CREATE_NEW` (O_CREAT|O_EXCL, atomic in the kernel):
+    * Hadoop's local create(overwrite=false) is a non-atomic exists check
+    * followed by an O_TRUNC open, so two racing claimers could both pass
+    * the check and the second would truncate the winner's manifest — a
+    * corrupted snapshot, not just a lost race. HDFS create(false) is
+    * atomic at the namenode, so the Hadoop path is safe there.
+    */
+  private[lake] def writeStringExclusive(fs: FileSystem, p: Path, s: String): Boolean =
+    if (fs.getScheme == "file")
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          s.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    else
+      try {
+        val out = fs.create(p, false)
+        try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if fs.exists(p) => false
+      }
 
   private[lake] def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
