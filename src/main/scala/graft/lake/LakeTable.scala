@@ -76,6 +76,17 @@ object FileEntry {
   *                  manifests written before the field existed: an unknown
   *                  write set conflicts with everything (fail loud, never
   *                  lose a commit).
+  * @param groupRefs SHARDED manifest format (tables with more buckets than
+  *                  [[LakeTable.shardBucketThreshold]]): the snapshot JSON
+  *                  carries references to per-bucket-group manifest files
+  *                  instead of the inline `files` array — Iceberg's
+  *                  manifest-list shape. A commit rewrites only the groups
+  *                  its buckets fall in and REUSES the parent's refs for
+  *                  the rest, so both the snapshot JSON and the per-commit
+  *                  metadata write volume are O(buckets touched), not
+  *                  O(table). `files` is always the fully resolved list in
+  *                  memory (loaded from the refs at read time); empty
+  *                  `groupRefs` means the inline format.
   */
 final case class Snapshot(
     id: Long,
@@ -92,7 +103,15 @@ final case class Snapshot(
     mergeMs: Long = -1L,
     writerEpochs: Map[String, Long] = Map.empty,
     batchHashes: Seq[Long] = Nil,
-    touched: Option[Seq[Int]] = None)
+    touched: Option[Seq[Int]] = None,
+    groupRefs: Seq[GroupRef] = Nil)
+
+/** Reference to one bucket-group manifest file (sharded format): `g` is
+  * the group index (`bucket / groupSize`), `path` the manifest's file name
+  * under `_meta` (relative, so a table survives being moved), `n` its file
+  * count (for cheap accounting without opening it).
+  */
+final case class GroupRef(g: Int, path: String, n: Int)
 
 /** Result of a commit attempt: either applied (new snapshot) or fenced
   * (this epoch was already committed — idempotent replay no-op).
@@ -364,7 +383,10 @@ final class LakeTable(
               math.max(epochId, cur.writerEpochs.getOrElse(writerId, -1L)))
           else cur.writerEpochs,
         batchHashes = (cur.batchHashes ++ batchHash).takeRight(maxBatchHashes),
-        touched = Some((replacedBuckets ++ newFiles.map(_.bucket)).toSeq.distinct.sorted))
+        touched = Some((replacedBuckets ++ newFiles.map(_.bucket)).toSeq.distinct.sorted),
+        groupRefs =
+          if (!sharded(cur.numBuckets)) Nil
+          else shardGroupRefs(cur, allFiles, replacedBuckets, newFiles))
       if (writeStringExclusive(fs, snapPath(snap.id), manifestJson(snap))) {
         swapCurrent(snap.id)
         return CommitResult(snap, applied = true)
@@ -381,6 +403,30 @@ final class LakeTable(
     }
     throw new CommitConflictException(
       s"commit by writer '$writerId' lost the snapshot-claim race $maxCommitRetries times at $root")
+  }
+
+  /** Sharded-format manifest diff: write ONE new group manifest per group
+    * a touched bucket falls in (carrying that group's full post-commit file
+    * list) and reuse the parent's refs for every other group — the
+    * metadata written per commit is O(buckets touched), never O(table).
+    * Orphan group manifests from lost claim races are GC'd by
+    * [[expireSnapshots]].
+    */
+  private def shardGroupRefs(cur: Snapshot, allFiles: Seq[FileEntry],
+      replacedBuckets: Set[Int], newFiles: Seq[FileEntry]): Seq[GroupRef] = {
+    val gsz = groupSize(cur.numBuckets)
+    val changed = (replacedBuckets.iterator ++ newFiles.iterator.map(_.bucket))
+      .map(_ / gsz).toSet
+    val kept = cur.groupRefs.filterNot(r => changed.contains(r.g))
+    val byGroup = allFiles.groupBy(_.bucket / gsz)
+    val fresh = changed.toSeq.sorted.flatMap { g =>
+      byGroup.get(g).map { fes =>
+        val name = f"m-g$g%04d-${java.util.UUID.randomUUID.toString.take(12)}.json"
+        writeString(fs, new Path(metaDir, name), groupManifestJson(g, fes))
+        GroupRef(g, name, fes.size)
+      }
+    }
+    (kept ++ fresh).sortBy(_.g)
   }
 
   /** Assert that every snapshot in (base, cur] has a write set disjoint
@@ -635,9 +681,17 @@ final class LakeTable(
     val ids = snapshotIds
     val curId = current.id
     val keep = ids.filter(_ >= curId - keepLast + 1).toSet + curId
-    val live: Set[String] = keep.flatMap(id => snapshot(id).files.map(_.path))
-    // delete dead manifests
+    val keptSnaps = keep.toSeq.map(snapshot)
+    val live: Set[String] = keptSnaps.flatMap(_.files.map(_.path)).toSet
+    // delete dead snapshot manifests
     ids.filterNot(keep).foreach(id => fs.delete(snapPath(id), false))
+    // delete group manifests no kept snapshot references (expired
+    // snapshots' groups + orphans from lost commit-claim races)
+    val liveRefs: Set[String] = keptSnaps.flatMap(_.groupRefs.map(_.path)).toSet
+    fs.listStatus(metaDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("m-") && p.getName.endsWith(".json") &&
+        !liveRefs.contains(p.getName))
+      .foreach(p => fs.delete(p, false))
     // delete orphan data files
     val dataDir = new Path(rootPath, "data")
     if (fs.exists(dataDir)) {
@@ -699,6 +753,21 @@ object LakeTable {
   def claimWaitMs: Long =
     sys.props.get("graft.lake.claimWaitMs").map(_.toLong).getOrElse(5000L)
 
+  /** Tables with more buckets than this use the SHARDED manifest format:
+    * file entries live in per-bucket-group manifest files and the snapshot
+    * JSON carries only group references. 64 groups bounds the snapshot
+    * JSON and the manifest-list diff per commit regardless of bucket count
+    * (a 4096-bucket table has 64-bucket groups), while commits rewrite
+    * only the groups their touched buckets fall in.
+    */
+  val shardBucketThreshold = 64
+
+  def sharded(numBuckets: Int): Boolean = numBuckets > shardBucketThreshold
+
+  /** Buckets per group manifest — sized so there are ≤ 64 groups. */
+  def groupSize(numBuckets: Int): Int =
+    math.max(1, (numBuckets + shardBucketThreshold - 1) / shardBucketThreshold)
+
   /** Create an empty table at `root` with an initial schema version. */
   def create(
       spark: SparkSession, root: String, schemaVer: Int, numBuckets: Int,
@@ -741,16 +810,45 @@ object LakeTable {
   // ---- tiny JSON codec for manifests (no external deps beyond Spark's
   // jackson; hand-rolled to keep the format explicit and stable) ----
 
-  private[lake] def manifestJson(s: Snapshot): String = {
-    def esc(x: String) = x.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    val files = s.files.map(f =>
+  private def esc(x: String) = x.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private[lake] def filesJson(fes: Seq[FileEntry]): String =
+    fes.map(f =>
       s"""{"path":"${esc(f.path)}","bucket":${f.bucket},"schemaVer":${f.schemaVer},""" +
         s""""rows":${f.rows},"live":${f.live},"kind":"${esc(f.kind)}"}""")
       .mkString("[", ",", "]")
+
+  /** One bucket-group manifest (sharded format). */
+  private[lake] def groupManifestJson(g: Int, fes: Seq[FileEntry]): String =
+    s"""{"g":$g,"files":${filesJson(fes)}}"""
+
+  private[lake] def parseGroupManifest(json: String): Seq[FileEntry] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    parseFileArray(m.readTree(json).get("files"))
+  }
+
+  private def parseFileArray(arr: com.fasterxml.jackson.databind.JsonNode): Seq[FileEntry] =
+    (0 until arr.size()).map { i =>
+      val f = arr.get(i)
+      FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
+        f.get("schemaVer").asInt(), f.get("rows").asLong(),
+        if (f.has("live")) f.get("live").asLong() else -1L,
+        if (f.has("kind")) f.get("kind").asText() else FileEntry.Base)
+    }
+
+  private[lake] def manifestJson(s: Snapshot): String = {
+    // Sharded tables reference group manifests; inline tables embed files.
+    val tail =
+      if (sharded(s.numBuckets)) {
+        val gs = s.groupRefs
+          .map(r => s"""{"g":${r.g},"path":"${esc(r.path)}","n":${r.n}}""")
+          .mkString("[", ",", "]")
+        s""""groups":$gs"""
+      } else s""""files":${filesJson(s.files)}"""
     val we = s.writerEpochs.toSeq.sortBy(_._1)
       .map { case (w, e) => s"""{"w":"${esc(w)}","e":$e}""" }.mkString("[", ",", "]")
     val bh = s.batchHashes.mkString("[", ",", "]")
@@ -759,20 +857,20 @@ object LakeTable {
       s""""numBuckets":${s.numBuckets},"rows":${s.rows},"maxLsn":${s.maxLsn},""" +
       s""""writer":"${esc(s.writerId)}","inputEvents":${s.inputEvents},""" +
       s""""dedupedKeys":${s.dedupedKeys},"mergeMs":${s.mergeMs},""" +
-      s"""$tb"writerEpochs":$we,"batchHashes":$bh,"files":$files}"""
+      s"""$tb"writerEpochs":$we,"batchHashes":$bh,$tail}"""
   }
 
   private[lake] def parseManifest(json: String): Snapshot = {
     import com.fasterxml.jackson.databind.ObjectMapper
     val m = new ObjectMapper()
     val n = m.readTree(json)
-    val files = (0 until n.get("files").size()).map { i =>
-      val f = n.get("files").get(i)
-      FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
-        f.get("schemaVer").asInt(), f.get("rows").asLong(),
-        if (f.has("live")) f.get("live").asLong() else -1L,
-        if (f.has("kind")) f.get("kind").asText() else FileEntry.Base)
-    }
+    val files = if (n.has("files")) parseFileArray(n.get("files")) else Nil
+    val groupRefs: Seq[GroupRef] =
+      if (!n.has("groups")) Nil
+      else (0 until n.get("groups").size()).map { i =>
+        val g = n.get("groups").get(i)
+        GroupRef(g.get("g").asInt(), g.get("path").asText(), g.get("n").asInt())
+      }
     def optLong(k: String): Long = if (n.has(k)) n.get(k).asLong() else -1L
     val writerEpochs: Map[String, Long] =
       if (!n.has("writerEpochs")) Map.empty
@@ -792,14 +890,23 @@ object LakeTable {
       writerId = if (n.has("writer")) n.get("writer").asText() else "",
       inputEvents = optLong("inputEvents"), dedupedKeys = optLong("dedupedKeys"),
       mergeMs = optLong("mergeMs"),
-      writerEpochs = writerEpochs, batchHashes = batchHashes, touched = touched)
+      writerEpochs = writerEpochs, batchHashes = batchHashes, touched = touched,
+      groupRefs = groupRefs)
   }
 
   private def writeManifest(fs: FileSystem, p: Path, s: Snapshot): Unit =
     writeString(fs, p, manifestJson(s))
 
-  private def readManifest(fs: FileSystem, p: Path): Snapshot =
-    parseManifest(readString(fs, p))
+  /** Read a snapshot manifest, resolving sharded group refs into the full
+    * in-memory file list (≤ 64 small sequential reads — driver metadata,
+    * not a data-path cost).
+    */
+  private def readManifest(fs: FileSystem, p: Path): Snapshot = {
+    val s = parseManifest(readString(fs, p))
+    if (s.groupRefs.isEmpty) s
+    else s.copy(files = s.groupRefs.flatMap(r =>
+      parseGroupManifest(readString(fs, new Path(p.getParent, r.path)))))
+  }
 
   private[lake] def writeString(fs: FileSystem, p: Path, s: String): Unit = {
     val out = fs.create(p, true)
