@@ -42,7 +42,8 @@ object SparkEntry {
       spark: SparkSession, events: Long, batches: Int,
       dumpDir: Option[String] = None,
       strategy: graft.cdc.WriteStrategy = graft.cdc.WriteStrategy.CopyOnWrite,
-      compactMidway: Boolean = false): DataFrame = {
+      compactMidway: Boolean = false,
+      expireMaintenance: Boolean = false): DataFrame = {
     val cfg = GenConfig(numEvents = events)
     dumpDir.foreach(d =>
       ChangeGen.events(spark, cfg).toDF().coalesce(1).write.mode("overwrite").parquet(d))
@@ -56,7 +57,16 @@ object SparkEntry {
       // driver-checked result covers base+delta interleaving, not just a
       // pure delta stack.
       if (compactMidway && b == batches / 2 - 1) table.compact(foldDeltas = true)
+      // Snapshot expiry + orphan GC mid-replay: subsequent epochs read and
+      // merge against a table whose history was just garbage-collected —
+      // the staging-purge lifecycle (S10) on the driver-checked path.
+      if (expireMaintenance && b == batches / 2 - 1) {
+        table.compact(maxFilesPerBucket = 1)
+        table.expireSnapshots(keepLast = 1)
+      }
     }
+    // post-replay expiry: the final read below runs over a fully GC'd table
+    if (expireMaintenance) table.expireSnapshots(keepLast = 1)
     table.read().orderBy("conv_id", "turn_idx")
   }
 
@@ -77,6 +87,11 @@ object SparkEntry {
   private def morOracle: String =
     cdcReplayOracle.replace(changeLogDump, morChangeLogDump)
 
+  private val expireChangeLogDump = "/tmp/graft_oracle/cdc_change_events_expire"
+
+  private def expireOracle: String =
+    cdcReplayOracle.replace(changeLogDump, expireChangeLogDump)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.run).toMap +
@@ -86,7 +101,13 @@ object SparkEntry {
       // final-state contract, checked against the same row_number oracle.
       ("cdc_replay_mor" ->
         ((s: SparkSession, _: String) => cdcReplay(s, 2000L, 4, Some(morChangeLogDump),
-          strategy = graft.cdc.WriteStrategy.MergeOnRead, compactMidway = true)))
+          strategy = graft.cdc.WriteStrategy.MergeOnRead, compactMidway = true))) +
+      // Maintenance lifecycle on the driver-checked path: compaction,
+      // snapshot expiry and orphan-file GC run MID-replay and post-replay;
+      // the final state must still equal the naive LWW oracle.
+      ("cdc_replay_expire" ->
+        ((s: SparkSession, _: String) => cdcReplay(s, 2000L, 4, Some(expireChangeLogDump),
+          expireMaintenance = true)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -94,6 +115,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     (catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap +
       ("cdc_replay_final_state" -> cdcReplayOracle) +
-      ("cdc_replay_mor" -> morOracle))
+      ("cdc_replay_mor" -> morOracle) +
+      ("cdc_replay_expire" -> expireOracle))
       .map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -423,18 +423,24 @@ object RelationalQueries {
                                  '\s+', ' ', 'g')) AS norm_name
             FROM part ORDER BY p_partkey"""))
 
-  /** P6 ▸ domain-range validation filter (reference: range checks,
-    * Scripts/database_schema.sql:438-443).
+  /** P6 ▸ domain-range validation filter, bounds as CONFIG DATA: the flag
+    * columns and the quarantine predicate fold out of the rule config's
+    * `validation` section ([[graft.enrich.Validation.rangeFlags]]), so a
+    * deployment tightens a threshold by editing config, not by recompiling
+    * (reference: range checks live in config + CHECK constraints,
+    * Config/config.yaml:82, Scripts/database_schema.sql:438-443).
     */
   private val p6 = Q("p6_range_flags",
-    (spark, dir) =>
+    (spark, dir) => {
+      val rules = graft.enrich.RulesConfig.default.validation
+      val flags = graft.enrich.Validation.rangeFlags(rules)
       t(spark, dir, "lineitem")
-        .filter(col("l_discount") > 0.05 || col("l_tax") > 0.05)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_discount"), col("l_tax"),
-          (col("l_discount") > 0.05).as("bad_disc"),
-          (col("l_tax") > 0.05).as("bad_tax"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .filter(graft.enrich.Validation.anyViolation(rules))
+        .select(Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_discount"), col("l_tax")) ++
+          flags.map { case (name, c) => c.as(name) }: _*)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     Some("""SELECT l_orderkey, l_linenumber, l_discount, l_tax,
             l_discount > 0.05 AS bad_disc, l_tax > 0.05 AS bad_tax
             FROM lineitem WHERE l_discount > 0.05 OR l_tax > 0.05

@@ -35,6 +35,13 @@ object CdcStream {
     *                  back to base files every N applied epochs (0 = never;
     *                  compaction is itself a fenceless maintenance commit,
     *                  so a crash mid-compaction is harmless)
+    * @param retry    engine-level retry of a failed epoch apply, config
+    *                  data via [[graft.enrich.RulesConfig]]'s `retry`
+    *                  section (see [[RetryPolicy]]; deterministic failures
+    *                  never retry). Retrying the whole foreachBatch body is
+    *                  safe: the epoch fence makes an already-committed
+    *                  apply a no-op and metric emission is
+    *                  overwrite-by-epoch.
     */
   final case class StreamConfig(
       maxFilesPerTrigger: Int = 4,
@@ -43,7 +50,8 @@ object CdcStream {
       triggerMs: Long = 500L,
       mode: MergeMode = MergeMode.Upsert,
       strategy: WriteStrategy = WriteStrategy.CopyOnWrite,
-      compactEveryEpochs: Int = 0)
+      compactEveryEpochs: Int = 0,
+      retry: RetryPolicy = RetryPolicy.default)
 
   /** Stream identity for epoch fencing: stable across restarts of the SAME
     * checkpoint (epochIds are scoped to a checkpoint), different for a
@@ -68,7 +76,7 @@ object CdcStream {
       .parquet(eventsDir)
     val writer = events.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) => Retry.run(cfg.retry, s"epoch $epochId apply") {
         val stats = MergeApply.applyBatch(table, batch, epochId, cfg.saltFactor,
           mode = cfg.mode, writerId = wid, strategy = cfg.strategy)
         if (stats.applied) {
@@ -95,7 +103,7 @@ object CdcStream {
           }
         }
         ()
-      }
+      }}
     (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(cfg.triggerMs)))
       .start()

@@ -3,7 +3,9 @@ package graft.enrich
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import graft.cdc.RetryPolicy
 import graft.enrich.Classifiers.RegexRule
+import graft.enrich.Validation.RangeRule
 
 /** Config-as-data rule loading: classification rule tables, override maps,
   * lookups and defaults are parsed from an external JSON config file into
@@ -33,11 +35,19 @@ import graft.enrich.Classifiers.RegexRule
   */
 object RulesConfig {
 
+  /** @param validation range-bound rules feeding [[Validation.rangeFlags]]
+    *                    (reference: Config/config.yaml:82)
+    * @param retry      engine-level epoch retry/backoff consumed by
+    *                    [[graft.cdc.CdcStream]] (reference:
+    *                    Config/config.yaml:149-152)
+    */
   final case class Rules(
       illnessRules: Seq[RegexRule],
       overrides: Map[String, String],
       defaultLabel: String,
-      manufacturers: Seq[(String, String)])
+      manufacturers: Seq[(String, String)],
+      validation: Seq[RangeRule] = Nil,
+      retry: RetryPolicy = RetryPolicy.default)
 
   /** The shipped default config — the SAME rule data the reference ships
     * in its config.yaml, embedded as config text and run through the same
@@ -59,7 +69,12 @@ object RulesConfig {
       |    {"match": "affymetrix", "name": "Affymetrix"},
       |    {"match": "agilent", "name": "Agilent"},
       |    {"match": "nanostring", "name": "NanoString"}
-      |  ]
+      |  ],
+      |  "validation": [
+      |    {"column": "l_discount", "max": 0.05, "flag": "bad_disc"},
+      |    {"column": "l_tax", "max": 0.05, "flag": "bad_tax"}
+      |  ],
+      |  "retry": {"max_attempts": 3, "backoff_ms": 1000, "backoff_factor": 2.0}
       |}""".stripMargin
 
   lazy val default: Rules = parse(defaultJson)
@@ -89,7 +104,25 @@ object RulesConfig {
         val m = n.get("manufacturers").get(i)
         m.get("match").asText() -> m.get("name").asText()
       }
-    Rules(rules, overrides, defaultLabel, manufacturers)
+    val validation: Seq[RangeRule] =
+      if (!n.has("validation")) Nil
+      else (0 until n.get("validation").size()).map { i =>
+        val v = n.get("validation").get(i)
+        RangeRule(v.get("column").asText(),
+          if (v.has("min")) Some(v.get("min").asDouble()) else None,
+          if (v.has("max")) Some(v.get("max").asDouble()) else None,
+          v.get("flag").asText())
+      }
+    val retry =
+      if (!n.has("retry")) RetryPolicy.default
+      else {
+        val r = n.get("retry")
+        RetryPolicy(
+          maxAttempts = if (r.has("max_attempts")) r.get("max_attempts").asInt() else 3,
+          backoffMs = if (r.has("backoff_ms")) r.get("backoff_ms").asLong() else 1000L,
+          backoffFactor = if (r.has("backoff_factor")) r.get("backoff_factor").asDouble() else 2.0)
+      }
+    Rules(rules, overrides, defaultLabel, manufacturers, validation, retry)
   }
 
   /** Load a rule config from a file path (any local/posix path; HDFS-form

@@ -1,0 +1,39 @@
+package graft.enrich
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Config-driven range validation: bounds live in the rule config's
+  * `validation` section and fold into plain codegen'd comparison columns —
+  * a user tightens a threshold by editing config, never by recompiling
+  * (reference: the 0 ≤ v ≤ 1e6 range rule is config + a CHECK constraint,
+  * Config/config.yaml:82 and Scripts/database_schema.sql:438-443). Same
+  * config-as-data contract as the classifier rules: the DATA changes per
+  * deployment, the PLAN SHAPE (a chain of `<`/`>` comparisons) does not,
+  * so config edits cannot deoptimize the scan they ride on.
+  */
+object Validation {
+
+  /** One range rule: a violation flag column named `flag` is true when
+    * `column` falls below `min` or above `max` (absent bound = unchecked).
+    */
+  final case class RangeRule(
+      column: String,
+      min: Option[Double],
+      max: Option[Double],
+      flag: String)
+
+  /** Violation flag columns, one per rule — p6's validation shape built
+    * from config data.
+    */
+  def rangeFlags(rules: Seq[RangeRule]): Seq[(String, Column)] =
+    rules.map { r =>
+      val c = col(r.column)
+      val checks = r.min.map(m => c < lit(m)).toSeq ++ r.max.map(m => c > lit(m))
+      r.flag -> checks.reduceOption(_ || _).getOrElse(lit(false))
+    }
+
+  /** True when any rule is violated — the quarantine/filter predicate. */
+  def anyViolation(rules: Seq[RangeRule]): Column =
+    rangeFlags(rules).map(_._2).reduceOption(_ || _).getOrElse(lit(false))
+}
