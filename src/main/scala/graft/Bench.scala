@@ -79,7 +79,15 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "2").toInt
+    // 4 micro-batches per replay round: the headline is a SUSTAINED
+    // multi-epoch stream (commit + merge + maintenance paid per epoch),
+    // not one giant bulk merge. Per-epoch walls + variance are reported in
+    // the JSON. More epochs at fixed event volume shrink events/epoch;
+    // below ~4M events/epoch the per-epoch fixed slice (~0.6 s of
+    // scheduling + commit, core-count-independent) starts to dominate the
+    // 4N side's quotient — 4 is the depth the 480 s budget sustains at
+    // volumes that still measure the engine.
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "4").toInt
     // Hard cap on interleaved measurement rounds (the deadline usually
     // binds first). The loop is adaptive: it stops once each core count
     // has a steal-clean round (minimum 2 rounds) or the budget is spent.
@@ -189,9 +197,14 @@ object Bench {
     // events/s at full width.
     val epsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ASSUMED_EPS_N", "280000").toDouble
     val spinUp = 35.0
+    // Fixed wall per epoch beyond event volume (job scheduling + head agg
+    // + commit; core-count-independent) — measured ~0.6 s after the
+    // write-pass manifest stats removed the footer read pass.
+    val epochFixed = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPOCH_FIXED", "0.8").toDouble
     def roundCostSec(events: Long): Double =
-      events / epsN + events / (2.2 * epsN) + 2 * spinUp
-    def peakCostSec(events: Long): Double = events / (1.8 * epsN) + spinUp
+      events / epsN + events / (2.2 * epsN) + 2 * spinUp + 2 * nBatches * epochFixed
+    def peakCostSec(events: Long): Double =
+      events / (1.8 * epsN) + spinUp + nBatches * epochFixed
     def genCostSec(events: Long): Double = events / 1500000.0 + 10.0
 
     // Size events so 2 interleaved rounds + the peak run + generation fit
@@ -200,7 +213,7 @@ object Bench {
     val budget0 = remainingSec()
     val sized = {
       val perEvent = 2 * (1 / epsN + 1 / (2.2 * epsN)) + 1 / (1.8 * epsN) + 1 / 1500000.0
-      val fixed = 2 * 2 * spinUp + spinUp + 10.0
+      val fixed = 2 * 2 * spinUp + spinUp + 10.0 + 5 * nBatches * epochFixed
       math.max(2000000L, math.min(48000000L, ((budget0 - fixed) / perEvent).toLong))
     }
     val benchEvents = sys.env.get("SPARK_GRAFT_BENCH_EVENTS").map(_.toLong).getOrElse(sized)
@@ -322,6 +335,16 @@ object Bench {
     def floorOf(cores: Int): Double = {
       val perRound = runs.filter(_.cores == cores).map(_.secs)
       (0 until nBatches).map(e => perRound.map(_(e)).min).sum
+    }
+    // Per-epoch walls of the round behind `bestOf` — the sustained-stream
+    // evidence (mean ± stddev across the epochs of one real run).
+    def epochStatsOf(cores: Int): (Seq[Double], Double, Double) = {
+      val of = runs.filter(_.cores == cores)
+      val pool = if (of.exists(_.clean)) of.filter(_.clean) else of
+      val secs = pool.minBy(_.secs.sum).secs
+      val mean = secs.sum / secs.size
+      val sd = math.sqrt(secs.map(s => (s - mean) * (s - mean)).sum / secs.size)
+      (secs, mean, sd)
     }
     // Keep `partial` current after every replay phase so a SIGTERM mid-
     // protocol still reports the interleaved evidence gathered so far.
@@ -488,9 +511,15 @@ object Bench {
     val speedup = tSmall / tBig
 
     // ---- 4. emit ----
+    val (epochsN, epochMeanN, epochSdN) = epochStatsOf(smallCores)
+    val (epochs4N, epochMean4N, epochSd4N) = epochStatsOf(bigCores)
     val json =
       f"""{"metric":"total","value":$totalQuery%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         f""""cdc":{"events":${cfg.totalRows},"batches":$nBatches,""" +
+        f""""epoch_secs_n":[${epochsN.map(s => f"$s%.2f").mkString(",")}],""" +
+        f""""epoch_sec_mean_n":$epochMeanN%.2f,"epoch_sec_stddev_n":$epochSdN%.2f,""" +
+        f""""epoch_secs_4n":[${epochs4N.map(s => f"$s%.2f").mkString(",")}],""" +
+        f""""epoch_sec_mean_4n":$epochMean4N%.2f,"epoch_sec_stddev_4n":$epochSd4N%.2f,""" +
         f""""cores_n":$smallCores,"sec_n":$tSmall%.2f,"events_per_sec_n":$epsSmall%.0f,""" +
         f""""cores_4n":$bigCores,"sec_4n":$tBig%.2f,"events_per_sec_4n":$epsBig%.0f,""" +
         f""""sec_n_best":$tSmallBest%.2f,"sec_4n_best":$tBigBest%.2f,"scaling_efficiency_best":$effBest%.3f,""" +
@@ -512,7 +541,8 @@ object Bench {
       tSmallBest, tBigBest, effBest, tSmallFloor, tBigFloor, effFloor,
       r, cleanRounds(smallCores), cleanRounds(bigCores), stealCleanSec,
       headlineSource, headlineEvents,
-      probeEff.map(pe => (probeCfg.totalRows, probeBest(smallCores), probeBest(bigCores), pe)))
+      probeEff.map(pe => (probeCfg.totalRows, probeBest(smallCores), probeBest(bigCores), pe)),
+      (epochMeanN, epochSdN, epochMean4N, epochSd4N))
   }
 
   /** Child JVM command: inherited flags minus heap sizing, replaced by a
@@ -662,7 +692,8 @@ object Bench {
       tNFloor: Double, t4NFloor: Double, effFloor: Double,
       roundsRun: Int, cleanN: Int, clean4N: Int, stealCleanSec: Double,
       headlineSource: String, headlineEvents: Long,
-      probe: Option[(Long, Double, Double, Double)]): Unit = {
+      probe: Option[(Long, Double, Double, Double)],
+      epochStats: (Double, Double, Double, Double)): Unit = {
     val md = new StringBuilder
     md ++= "# BENCH — measured engine numbers\n\n"
     md ++= "Headline metric (north rule): change-events/sec sustained merge-apply\n"
@@ -679,6 +710,7 @@ object Bench {
     md ++= f"| full-size walls, best (N / 4N) | $tNBest%.2f s / $t4NBest%.2f s → eff $effBest%.3f |\n"
     md ++= f"| full-size walls, noise-floor (N / 4N, composed) | $tNFloor%.2f s / $t4NFloor%.2f s → eff $effFloor%.3f |\n"
     md ++= f"| rounds run / steal-clean rounds (N, 4N) | $roundsRun / ($cleanN, $clean4N) at ≤$stealCleanSec%.0f stolen core-s per epoch |\n"
+    md ++= f"| per-epoch wall, best round (N / 4N, $batches epochs) | ${epochStats._1}%.2f ± ${epochStats._2}%.2f s / ${epochStats._3}%.2f ± ${epochStats._4}%.2f s |\n"
     probe.foreach { case (pEvents, pN, p4N, pEff) =>
       md ++= f"| steal-clean short-probe walls (N / 4N, $pEvents%,d events) | $pN%.2f s / $p4N%.2f s → eff $pEff%.3f |\n"
     }
