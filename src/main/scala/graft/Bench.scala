@@ -189,36 +189,54 @@ object Bench {
       queryTimes: Seq[(String, Double)],
       partial: AtomicReference[String], emit: String => Unit): Unit = {
 
-    // ---- sizing heuristics (conservative, from measured history) ----
-    // N=2 sustained ≈ 280k events/s (measured 314k with tmpfs shuffle +
-    // fixed child heap), 4N ≈ 2.2× that, full-width peak ≈ 1.8× (memory-
-    // bandwidth wall beyond ~8-16 threads), JVM spin-up (12 GB pre-touch +
-    // session init + 1M-event warmup) ≈ 35 s per child, generation ≈ 1.5M
-    // events/s at full width.
-    val epsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ASSUMED_EPS_N", "280000").toDouble
+    // ---- sizing heuristics, calibrated to the CURRENT host window ----
+    // The host's co-tenant load swings merge throughput 2-3× between
+    // windows with zero recorded steal (N=2 sustained measured 394k
+    // events/s at membw 11.9 GB/s — the round-3 driver run — but ~180k at
+    // membw 9.1). Sizing from a fixed assumed rate therefore either
+    // starves epochs (healthy window) or overruns the deadline (degraded
+    // window). The 256 MB array-copy calibration predicts the window, so
+    // the assumed N-rate for SIZING (results are always measured, never
+    // assumed) is scaled by (membw/11.9)^3 — a deliberately punitive curve
+    // fitted to the two observed anchor windows above — and floored.
+    val bwNow = membwGBs()
+    val hostFactor = math.min(1.0, bwNow / 11.9)
+    val epsN = sys.env.get("SPARK_GRAFT_BENCH_ASSUMED_EPS_N").map(_.toDouble)
+      .getOrElse(math.max(150000.0, 400000.0 * hostFactor * hostFactor * hostFactor))
     val spinUp = 35.0
     // Fixed wall per epoch beyond event volume (job scheduling + head agg
     // + commit; core-count-independent) — measured ~0.6 s after the
     // write-pass manifest stats removed the footer read pass.
-    val epochFixed = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPOCH_FIXED", "0.8").toDouble
+    val epochFixed = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPOCH_FIXED", "0.6").toDouble
+    // Untimed steady-state warmup per child (see replayInProcess): ~2.5
+    // passes over a warm-slice until the pass wall stabilizes.
+    val warmEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_EVENTS", "3000000").toLong
+    def warmCost(eps: Double): Double = 2.5 * warmEvents / eps
     def roundCostSec(events: Long): Double =
-      events / epsN + events / (2.2 * epsN) + 2 * spinUp + 2 * nBatches * epochFixed
+      events / epsN + events / (2.8 * epsN) + 2 * spinUp + 2 * nBatches * epochFixed +
+        warmCost(epsN) + warmCost(2.8 * epsN)
     def peakCostSec(events: Long): Double =
-      events / (1.8 * epsN) + spinUp + nBatches * epochFixed
-    def genCostSec(events: Long): Double = events / 1500000.0 + 10.0
+      events / (3.5 * epsN) + spinUp + nBatches * epochFixed + warmCost(3.5 * epsN)
+    def genCostSec(events: Long): Double = events / (1500000.0 * hostFactor) + 10.0
 
-    // Size events so 2 interleaved rounds + the peak run + generation fit
-    // the remaining budget; an explicit SPARK_GRAFT_BENCH_EVENTS overrides
-    // (the deadline gates below still apply). Floor 2M, cap 48M.
+    // Size events so ONE interleaved round + generation fit the remaining
+    // budget (further rounds, the peak run and probes are each gated
+    // adaptively on measured cost below). One round of BIG epochs beats
+    // two rounds of small ones: the ~0.6 s/epoch serial slice rides every
+    // epoch, and at 4 epochs/round it drags the 4N quotient below the
+    // north rule once epochs shrink under ~5M events. An explicit
+    // SPARK_GRAFT_BENCH_EVENTS overrides. Floor 12M, cap 32M.
     val budget0 = remainingSec()
     val sized = {
-      val perEvent = 2 * (1 / epsN + 1 / (2.2 * epsN)) + 1 / (1.8 * epsN) + 1 / 1500000.0
-      val fixed = 2 * 2 * spinUp + spinUp + 10.0 + 5 * nBatches * epochFixed
-      math.max(2000000L, math.min(48000000L, ((budget0 - fixed) / perEvent).toLong))
+      val perEvent = 1 / epsN + 1 / (2.8 * epsN) + 1 / (1500000.0 * hostFactor)
+      val fixed = 2 * spinUp + 10.0 + 2 * nBatches * epochFixed +
+        warmCost(epsN) + warmCost(2.8 * epsN)
+      math.max(12000000L, math.min(32000000L, ((budget0 - fixed) / perEvent).toLong))
     }
     val benchEvents = sys.env.get("SPARK_GRAFT_BENCH_EVENTS").map(_.toLong).getOrElse(sized)
-    System.err.println(f"[bench] budget=${budget0}%.0fs -> events=$benchEvents%,d " +
-      f"(est round=${roundCostSec(benchEvents)}%.0fs peak=${peakCostSec(benchEvents)}%.0fs)")
+    System.err.println(f"[bench] budget=${budget0}%.0fs membw=$bwNow%.1fGB/s epsN=$epsN%.0f " +
+      f"-> events=$benchEvents%,d (est round=${roundCostSec(benchEvents)}%.0fs " +
+      f"peak=${peakCostSec(benchEvents)}%.0fs)")
 
     // ---- 2. generate the change log once as files ----
     val cfg = GenConfig(numEvents = benchEvents, numConvs = 5000, maxTurns = 40)
@@ -244,10 +262,12 @@ object Bench {
     // Separate JVMs are also the faithful analogue of separate executor
     // fleets at N vs 4N. Falls back to in-process if the child cannot be
     // launched.
-    def replayOnce(cores: Int, round: Int): (Seq[Double], Seq[Double], Seq[Double], Double, Long) = {
+    def replayOnce(cores: Int, round: Int): (Seq[Double], Seq[Double], Seq[Double], Double, Long, Double) = {
       import scala.jdk.CollectionConverters._
       val cmd = childJvmCmd(Seq("replay-child", cores.toString, round.toString,
         benchDir, nBatches.toString), cores)
+      val w0 = System.nanoTime()
+      def wall: Double = (System.nanoTime() - w0) / 1e9
       try {
         val pb = new ProcessBuilder(cmd.asJava)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -264,12 +284,12 @@ object Bench {
           kv.get("sysu").map(_.split(",").toSeq.map(_.toDouble))
             .getOrElse(Seq.fill(nBatches)(0.0)),
           kv.get("membw").map(_.toDouble).getOrElse(0.0),
-          kv("rows").toLong)
+          kv("rows").toLong, wall)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] child JVM failed (${e.getMessage}); running in-process")
           val (a, b, c, d) = replayInProcess(cores, round, benchDir, nBatches)
-          (a, b, c, 0.0, d)
+          (a, b, c, 0.0, d, wall)
       }
     }
 
@@ -289,18 +309,20 @@ object Bench {
     val sysUserCleanRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_SYSU_CLEAN", "1.0").toDouble
     val minRounds = math.min(2, rounds)
     final case class Run(cores: Int, round: Int, secs: Seq[Double], steals: Seq[Double],
-        sysu: Seq[Double], membw: Double, rows: Long) {
+        sysu: Seq[Double], membw: Double, rows: Long, wall: Double) {
       def clean: Boolean = steals.forall(_ <= stealCleanSec) &&
         sysu.forall(_ <= sysUserCleanRatio)
     }
     var runs = Vector.empty[Run]
     def cleanRounds(c: Int) = runs.count(r => r.cores == c && r.clean)
+    // Cost of another round, from the MEASURED total child walls (spin-up
+    // + warmup + epochs, process start to exit) of the rounds already run.
     def measuredRoundCost: Double =
       if (runs.isEmpty) roundCostSec(cfg.totalRows)
       else Seq(smallCores, bigCores).map { c =>
         val of = runs.filter(_.cores == c)
-        if (of.isEmpty) cfg.totalRows / epsN else of.map(_.secs.sum).min
-      }.sum + 2 * spinUp
+        if (of.isEmpty) cfg.totalRows / epsN + spinUp else of.map(_.wall).min
+      }.sum
     var r = 0
     var budgetStop = false
     while (r < rounds && !budgetStop &&
@@ -317,9 +339,9 @@ object Bench {
         budgetStop = true
       } else {
         Seq(smallCores, bigCores).foreach { c =>
-          val (secs, steals, sysu, membw, rows) = replayOnce(c, r)
-          System.err.println(f"[bench] child cores=$c round=$r membwGBs=$membw%.1f")
-          runs :+= Run(c, r, secs, steals, sysu, membw, rows)
+          val (secs, steals, sysu, membw, rows, wall) = replayOnce(c, r)
+          System.err.println(f"[bench] child cores=$c round=$r wall=$wall%.0fs membwGBs=$membw%.1f")
+          runs :+= Run(c, r, secs, steals, sysu, membw, rows, wall)
           updatePartialWithRuns() // after EVERY child, not every round: a
           // SIGTERM mid-round still reports the half-round's evidence
         }
@@ -367,9 +389,16 @@ object Bench {
 
     // one extra round at full machine width for the peak-throughput number
     // (skipped under deadline pressure — the 4N number then stands in).
+    // Cost estimate: the measured 4N child wall when one exists (the peak
+    // child does the same spin-up + warmup + epochs, only faster epochs),
+    // else the model.
+    val peakCostEst = runs.filter(_.cores == bigCores) match {
+      case rs if rs.nonEmpty => rs.map(_.wall).min
+      case _ => peakCostSec(cfg.totalRows)
+    }
     val peak: Option[(Seq[Double], Long)] =
-      if (remainingSec() > peakCostSec(cfg.totalRows)) {
-        val (secs, _, _, _, rows) = replayOnce(cpus, r)
+      if (remainingSec() > peakCostEst) {
+        val (secs, _, _, _, rows, _) = replayOnce(cpus, r)
         Some((secs, rows))
       } else {
         System.err.println(f"[bench] deadline: skipping peak run (remaining=${remainingSec()}%.0fs)")
@@ -391,7 +420,7 @@ object Bench {
     val needProbes = cleanRounds(smallCores) == 0 || cleanRounds(bigCores) == 0
     val probeCfg = GenConfig(numEvents = math.max(cfg.numEvents / 6, 1000000L),
       numConvs = 5000, maxTurns = 40)
-    val probeCost = probeCfg.totalRows / epsN + spinUp
+    val probeCost = probeCfg.totalRows / epsN + warmCost(epsN) + spinUp
     var probeBest = Map.empty[Int, Double] // cores -> best clean single-epoch sec
     if (needProbes && remainingSec() > genCostSec(probeCfg.totalRows) + 2 * probeCost) {
       val probeDir = Files.createTempDirectory("graft-probe-").toString
@@ -567,8 +596,15 @@ object Bench {
     // which flatters the narrow side of the scaling quotient. This sizes
     // every JVM-internal pool to N (the faithful executor model) without
     // taskset pinning's kernel-migration noise.
+    // CICompilerCount is pinned ABOVE ActiveProcessorCount: JIT
+    // compilation is warmup-phase work (excluded from measurement by the
+    // steady-state warmup), and at ActiveProcessorCount=2 the single C2
+    // thread takes ~60 s of wall to drain the merge path's compile queue —
+    // warmup would eat half the child's budget. Task threads stay capped
+    // at local[N] and GC threads at ActiveProcessorCount, which are the
+    // pools that shape the measured epochs.
     Seq(javaBin) ++ jvmArgs ++ Seq(s"-Xms$heap", s"-Xmx$heap",
-      s"-XX:ActiveProcessorCount=$cores",
+      s"-XX:ActiveProcessorCount=$cores", "-XX:CICompilerCount=4",
       "-cp", sys.props("java.class.path"), "graft.Bench") ++ childArgs
   }
 
@@ -635,14 +671,41 @@ object Bench {
     s.sparkContext.setLogLevel("WARN")
     val root = s"$benchDir/table-$cores-r$round"
     val table = LakeTable.create(s, root, schemaVer = 1, numBuckets = 64)
-    // Symmetric warmup: apply a FULL first batch to a throwaway table so
-    // JIT/codegen cost is paid before the timer starts (JIT state is
-    // process-wide — without this the first-measured replay is unfairly
-    // slow and the scaling number is noise, not scaling).
-    val warmTable = LakeTable.create(s, s"$benchDir/warm-$cores-r$round",
-      schemaVer = 1, numBuckets = 64)
-    MergeApply.applyBatch(warmTable,
-      s.read.parquet(s"$benchDir/batch-0").limit(1000000), -1L)
+    // STEADY-STATE warmup: replay a slice of the first batch into
+    // throwaway tables until the pass wall stabilizes. JIT state is
+    // process-wide and compilation is one-time work a long-lived executor
+    // does not pay per batch; a single fixed-size warmup was NOT enough on
+    // the narrow child (ActiveProcessorCount=2 leaves a long C2 queue —
+    // its first timed epochs ran 2-3x slow with zero recorded steal, and
+    // the N/4N quotient read as fake superlinear scaling). Stability rule:
+    // stop once a pass improves on the previous one by less than 12%,
+    // bounded by a pass cap and a wall cap.
+    val warmEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_EVENTS", "3000000").toInt
+    val warmMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_MAX", "4").toInt
+    val warmCapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_CAP_SEC", "120").toDouble
+    // The slice is a seeded SAMPLE, not a limit: a global limit collapses
+    // the scan to one partition, so the warm passes would compile the
+    // codegen but exercise a serial plan the timed epochs never run.
+    val batch0 = s.read.parquet(s"$benchDir/batch-0")
+    val warmFrac = math.min(1.0, warmEvents.toDouble / math.max(1L, batch0.count()))
+    val warmSrc = if (warmFrac >= 1.0) batch0
+      else batch0.sample(withReplacement = false, warmFrac, 42L)
+    var warmPrev = Double.MaxValue
+    var warmTotal = 0.0
+    var w = 0
+    var warmStable = false
+    while (w < warmMax && !warmStable && warmTotal < warmCapSec) {
+      val warmTable = LakeTable.create(s, s"$benchDir/warm-$cores-r$round-$w",
+        schemaVer = 1, numBuckets = 64)
+      val t0 = System.nanoTime()
+      MergeApply.applyBatch(warmTable, warmSrc, -1L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] cores=$cores round=$round warm pass $w: $sec%.2fs")
+      warmStable = w >= 1 && sec > warmPrev * 0.88
+      warmPrev = sec
+      warmTotal += sec
+      w += 1
+    }
     val measured = (0 until nBatches).map { b =>
       val st0 = stealJiffies()
       val (us0, sy0) = userSysJiffies()
@@ -755,6 +818,25 @@ object Bench {
     md ++= "  24M-event 8-core epoch measured 16.7 s fresh vs 26-29 s in a\n"
     md ++= "  churned JVM). Fresh JVMs are also the faithful analogue of\n"
     md ++= "  separate executor fleets at N vs 4N.\n"
+    md ++= "- Each replay child runs an UNTIMED steady-state warmup before its\n"
+    md ++= "  timed epochs: a slice of the first batch is replayed into\n"
+    md ++= "  throwaway tables until the pass wall stabilizes (<12% improvement\n"
+    md ++= "  pass-over-pass, pass- and wall-capped). JIT compilation is\n"
+    md ++= "  one-time work a long-lived executor does not pay per batch; a\n"
+    md ++= "  single fixed-size warmup left the narrow child's first epochs\n"
+    md ++= "  2-3x slow (one C2 thread at ActiveProcessorCount=2) and the\n"
+    md ++= "  quotient read as fake superlinear scaling (a measured 1.23 was\n"
+    md ++= "  discarded for exactly this). Child JVMs pin CICompilerCount=4 so\n"
+    md ++= "  the compile queue drains during warmup; task threads stay capped\n"
+    md ++= "  at local[N] and GC threads at ActiveProcessorCount=N.\n"
+    md ++= "- Replay volume is sized to the remaining budget using an assumed\n"
+    md ++= "  N-rate scaled by the measured membw calibration ((bw/11.9)^3,\n"
+    md ++= "  floored; anchors: 394k events/s at 11.9 GB/s, ~180k at 9.1),\n"
+    md ++= "  targeting ONE interleaved round of big epochs — the ~0.6 s/epoch\n"
+    md ++= "  serial slice otherwise dominates the 4N quotient at 4 epochs —\n"
+    md ++= "  with further rounds / the peak run / probes each gated on the\n"
+    md ++= "  measured child walls of the rounds already run. Sizing only;\n"
+    md ++= "  every reported number is measured.\n"
     md ++= "- Hypervisor steal is MEASURED per epoch (/proc/stat steal delta,\n"
     md ++= "  printed as stolenCoreSec in the run log). Steal accrues only on\n"
     md ++= "  busy vCPUs, so it hits an N-thread run's N busy cores directly —\n"
