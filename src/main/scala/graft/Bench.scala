@@ -387,26 +387,6 @@ object Bench {
       )
     }
 
-    // one extra round at full machine width for the peak-throughput number
-    // (skipped under deadline pressure — the 4N number then stands in).
-    // Cost estimate: the measured 4N child wall when one exists (the peak
-    // child does the same spin-up + warmup + epochs, only faster epochs),
-    // else the model.
-    val peakCostEst = runs.filter(_.cores == bigCores) match {
-      case rs if rs.nonEmpty => rs.map(_.wall).min
-      case _ => peakCostSec(cfg.totalRows)
-    }
-    val peak: Option[(Seq[Double], Long)] =
-      if (remainingSec() > peakCostEst) {
-        val (secs, _, _, _, rows, _) = replayOnce(cpus, r)
-        Some((secs, rows))
-      } else {
-        System.err.println(f"[bench] deadline: skipping peak run (remaining=${remainingSec()}%.0fs)")
-        None
-      }
-    val rowsAll = (runs.map(_.rows) ++ peak.map(_._2)).distinct
-    require(rowsAll.size == 1, s"parallelism changed final state: $rowsAll")
-
     // Clean-window PROBES: when no full-size interleaved round lands clean
     // (sustained steal periods on this host), measure the same merge job
     // on a single SHORT batch (events/6, one epoch) alternating N / 4N
@@ -417,10 +397,18 @@ object Bench {
     // steal counter — not a model or an adjustment. Probes are budget-
     // gated like everything else and a failed probe child is SKIPPED, not
     // fatal.
+    // Probes run BEFORE the peak run: they rescue the NORTH-RULE number,
+    // the peak is informational — under deadline pressure the probe pair
+    // must get the budget first. Probe cost comes from the MEASURED round
+    // rate when one exists, not the sizing assumption.
     val needProbes = cleanRounds(smallCores) == 0 || cleanRounds(bigCores) == 0
     val probeCfg = GenConfig(numEvents = math.max(cfg.numEvents / 6, 1000000L),
       numConvs = 5000, maxTurns = 40)
-    val probeCost = probeCfg.totalRows / epsN + warmCost(epsN) + spinUp
+    val measEpsN = runs.filter(_.cores == smallCores) match {
+      case rs if rs.nonEmpty => cfg.totalRows / rs.map(_.secs.sum).min
+      case _ => epsN
+    }
+    val probeCost = probeCfg.totalRows / measEpsN + warmCost(measEpsN) + spinUp
     var probeBest = Map.empty[Int, Double] // cores -> best clean single-epoch sec
     if (needProbes && remainingSec() > genCostSec(probeCfg.totalRows) + 2 * probeCost) {
       val probeDir = Files.createTempDirectory("graft-probe-").toString
@@ -473,6 +461,27 @@ object Bench {
         attempt += 1
       }
     }
+
+    // one extra round at full machine width for the peak-throughput number
+    // (skipped under deadline pressure — the 4N number then stands in).
+    // Cost estimate: the measured 4N child wall when one exists (the peak
+    // child does the same spin-up + warmup + epochs, only faster epochs),
+    // else the model.
+    val peakCostEst = runs.filter(_.cores == bigCores) match {
+      case rs if rs.nonEmpty => rs.map(_.wall).min
+      case _ => peakCostSec(cfg.totalRows)
+    }
+    val peak: Option[(Seq[Double], Long)] =
+      if (remainingSec() > peakCostEst) {
+        val (secs, _, _, _, rows, _) = replayOnce(cpus, r)
+        Some((secs, rows))
+      } else {
+        System.err.println(f"[bench] deadline: skipping peak run (remaining=${remainingSec()}%.0fs)")
+        None
+      }
+    val rowsAll = (runs.map(_.rows) ++ peak.map(_._2)).distinct
+    require(rowsAll.size == 1, s"parallelism changed final state: $rowsAll")
+
     val probeEff: Option[Double] =
       for { pn <- probeBest.get(smallCores); p4 <- probeBest.get(bigCores) }
         yield (pn / p4) / (bigCores.toDouble / smallCores)
