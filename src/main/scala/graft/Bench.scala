@@ -551,6 +551,12 @@ object Bench {
     // ---- 4. emit ----
     val (epochsN, epochMeanN, epochSdN) = epochStatsOf(smallCores)
     val (epochs4N, epochMean4N, epochSd4N) = epochStatsOf(bigCores)
+    // Conservative within-round composition: nBatches × the best epoch on
+    // EACH side. Epoch walls wobble ±10% with zero recorded steal (the
+    // host's bandwidth-contention mode); composing each side's best epoch
+    // removes that wobble symmetrically, so a single-round headline that
+    // only passes because slow N epochs inflated the quotient is exposed.
+    val effEpochMin = ((nBatches * epochsN.min) / (nBatches * epochs4N.min)) / ratio
     val json =
       f"""{"metric":"total","value":$totalQuery%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         f""""cdc":{"events":${cfg.totalRows},"batches":$nBatches,""" +
@@ -558,6 +564,7 @@ object Bench {
         f""""epoch_sec_mean_n":$epochMeanN%.2f,"epoch_sec_stddev_n":$epochSdN%.2f,""" +
         f""""epoch_secs_4n":[${epochs4N.map(s => f"$s%.2f").mkString(",")}],""" +
         f""""epoch_sec_mean_4n":$epochMean4N%.2f,"epoch_sec_stddev_4n":$epochSd4N%.2f,""" +
+        f""""scaling_efficiency_epoch_min":$effEpochMin%.3f,""" +
         f""""cores_n":$smallCores,"sec_n":$tSmall%.2f,"events_per_sec_n":$epsSmall%.0f,""" +
         f""""cores_4n":$bigCores,"sec_4n":$tBig%.2f,"events_per_sec_4n":$epsBig%.0f,""" +
         f""""sec_n_best":$tSmallBest%.2f,"sec_4n_best":$tBigBest%.2f,"scaling_efficiency_best":$effBest%.3f,""" +
@@ -580,7 +587,7 @@ object Bench {
       r, cleanRounds(smallCores), cleanRounds(bigCores), stealCleanSec,
       headlineSource, headlineEvents,
       probeEff.map(pe => (probeCfg.totalRows, probeBest(smallCores), probeBest(bigCores), pe)),
-      (epochMeanN, epochSdN, epochMean4N, epochSd4N))
+      (epochMeanN, epochSdN, epochMean4N, epochSd4N), effEpochMin)
   }
 
   /** Child JVM command: inherited flags minus heap sizing, replaced by a
@@ -765,7 +772,7 @@ object Bench {
       roundsRun: Int, cleanN: Int, clean4N: Int, stealCleanSec: Double,
       headlineSource: String, headlineEvents: Long,
       probe: Option[(Long, Double, Double, Double)],
-      epochStats: (Double, Double, Double, Double)): Unit = {
+      epochStats: (Double, Double, Double, Double), effEpochMin: Double): Unit = {
     val md = new StringBuilder
     md ++= "# BENCH — measured engine numbers\n\n"
     md ++= "Headline metric (north rule): change-events/sec sustained merge-apply\n"
@@ -783,6 +790,7 @@ object Bench {
     md ++= f"| full-size walls, noise-floor (N / 4N, composed) | $tNFloor%.2f s / $t4NFloor%.2f s → eff $effFloor%.3f |\n"
     md ++= f"| rounds run / steal-clean rounds (N, 4N) | $roundsRun / ($cleanN, $clean4N) at ≤$stealCleanSec%.0f stolen core-s per epoch |\n"
     md ++= f"| per-epoch wall, best round (N / 4N, $batches epochs) | ${epochStats._1}%.2f ± ${epochStats._2}%.2f s / ${epochStats._3}%.2f ± ${epochStats._4}%.2f s |\n"
+    md ++= f"| conservative within-round composition ($batches × best epoch each side) | eff $effEpochMin%.3f |\n"
     probe.foreach { case (pEvents, pN, p4N, pEff) =>
       md ++= f"| steal-clean short-probe walls (N / 4N, $pEvents%,d events) | $pN%.2f s / $p4N%.2f s → eff $pEff%.3f |\n"
     }
@@ -868,7 +876,8 @@ object Bench {
     md ++= "  4N-core frequency ratio between windows — the calibration is\n"
     md ++= "  recorded host evidence, deliberately not a gate. Observed\n"
     md ++= "  window-to-window swing on complete protocol runs: efficiency\n"
-    md ++= "  0.66-0.90 with identical code and data.\n"
+    md ++= "  0.61-0.97 with identical code and data (the 0.61 run is labeled\n"
+    md ++= "  dirty_best — its 8-core round absorbed 8.6/17.8 stolen core-s).\n"
     md ++= "- When NO full-size round lands steal-clean (sustained-steal\n"
     md ++= "  periods), the bench falls back to automated SHORT PROBES: the\n"
     md ++= "  same merge job on a single events/6 batch, alternating N / 4N\n"
