@@ -125,20 +125,37 @@ object PlanAudit {
     }
 
     // materialized-pair aggregate: pair expansion is array transforms
-    // after a per-order collect, NOT a self-join — exactly two exchanges
-    // (per-order collect, per-pair count), both with partial aggregation
+    // after a per-order collect, NOT a self-join. Three DISTINCT shuffles:
+    // per-order collect (consumed by both the small-set and the
+    // degenerate-set branches), the degenerate-order chunk spread, and the
+    // per-pair count. The static plan prints the shared collect exchange
+    // once per branch (4 textual exchanges); AQE deduplicates it at
+    // runtime via stage reuse — asserted on the executed plan below.
     locally {
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      val plan = graft.analytics.MaterializedPairs.candidatePairs(li)
-        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      val df = graft.analytics.MaterializedPairs.candidatePairs(li)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
       println(s"\n===== candidate_pairs =====")
       println(plan.linesIterator.take(30).mkString("\n"))
+      df.collect() // materialize THIS QueryExecution so AQE finalizes it
+      // the adaptive toString prints "== Final Plan ==" then the initial
+      // plan; assert on the final section only
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
       Seq(
         "no self-join" -> !plan.contains("Join"),
         "generate-based pair expansion" -> plan.contains("Generate"),
         // formatted mode prints each node twice (tree + detail section);
         // the "(n) Exchange" detail headers count each exchange once
-        "exactly two exchanges" -> ("""\(\d+\) Exchange""".r.findAllIn(plan).size == 2))
+        "four static exchanges (shared collect printed per branch)" ->
+          ("""\(\d+\) Exchange""".r.findAllIn(plan).size == 4),
+        // healthy data has no >chunkSize order, so AQE's empty-relation
+        // propagation deletes the degenerate-spread branch at runtime —
+        // the guard's only cost is one empty shuffle stage
+        "degenerate branch eliminated at runtime (no oversized orders)" ->
+          (!finalPlan.contains("Union") &&
+            "Exchange hashpartitioning".r.findAllIn(finalPlan).size == 2))
         .foreach { case (what, ok) =>
           if (!ok) failures += 1
           println(s"[audit] candidate_pairs :: $what -> ${if (ok) "OK" else "VIOLATED"}")

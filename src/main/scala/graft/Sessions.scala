@@ -54,6 +54,14 @@ object Sessions {
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
     localDir.foreach(d => b.config("spark.local.dir", d))
-    b.getOrCreate()
+    val session = b.getOrCreate()
+    // getOrCreate returns an existing default session WITHOUT binding it
+    // to this thread's active-session slot. Any plan node constructed on
+    // this thread outside Spark's internal withActive wrappers (AQE
+    // re-planning is the observed case) then captures a null session and
+    // NPEs later in metrics/resetMetrics. Bind explicitly: a session
+    // factory should leave the calling thread usable.
+    SparkSession.setActiveSession(session)
+    session
   }
 }

@@ -60,23 +60,48 @@ object MaterializedPairs {
     * `collect_set` dedups (order, part) line repeats, so `count(*)` per
     * pair ≡ the join form's `countDistinct(orderkey)`.
     *
-    * Degenerate-order safety: the expansion is STREAMED, never
-    * materialized — `posexplode` emits one row per (anchor, index) and the
-    * second generator explodes a per-anchor `slice` of the set, so peak
-    * per-task memory is O(set size), not O(set²). A pathological order
-    * with 10⁵ distinct parts costs its 5·10⁹ output rows in compute (they
-    * flow straight into the partial count aggregate, which spills), where
-    * a transform×transform expansion would have built all C(n,2) pair
-    * structs inside ONE row's array — an executor OOM no spill can save.
+    * Degenerate-order safety, two tiers:
+    *   - the expansion is STREAMED, never materialized — `posexplode`
+    *     emits one row per (anchor, index) and the second generator
+    *     explodes a per-anchor `slice` of the set, so peak per-task memory
+    *     is O(set size), not O(set²); a transform×transform expansion
+    *     would have built all C(n,2) pair structs inside ONE row's array —
+    *     an executor OOM no spill can save.
+    *   - sets larger than `chunkSize` are additionally SPREAD ACROSS
+    *     TASKS: without this a 10⁴-part order's 5·10⁷ pairs (all distinct
+    *     within the order) expand AND partially aggregate inside a single
+    *     task — one core spilling a 5·10⁷-key hash map serially. The big
+    *     path explodes one (order, chunk) row per `ceil(n/chunkSize)`
+    *     chunks, shuffles those rows (n²/chunkSize array elements total —
+    *     for n=10⁵, ~80 MB; the pair OUTPUT is 5·10⁹ rows either way),
+    *     and each chunk expands the anchors with `index % nChunks ==
+    *     chunk` — the stride mix gives every chunk the same pair volume,
+    *     where contiguous ranges would load chunk 0 with n-1 pairs per
+    *     anchor and the last chunk with ~0. The explicit partition count
+    *     keeps AQE from coalescing the byte-tiny chunk shuffle back into
+    *     one task.
     */
-  def candidatePairs(lineitem: DataFrame, minOrders: Long = 2L): DataFrame = {
+  def candidatePairs(lineitem: DataFrame, minOrders: Long = 2L,
+      chunkSize: Int = 1024): DataFrame = {
+    val spark = lineitem.sparkSession
     val parts = lineitem.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-    val pairs = parts
+      .withColumn("sz", size(col("ps")))
+    // typical orders: narrow, fully pipelined, zero extra data movement
+    val small = parts.filter(col("sz") <= chunkSize)
       .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
       .select(col("p1"),
         explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("p2"))
-    pairs
+    val sp = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val big = parts.filter(col("sz") > chunkSize)
+      .withColumn("nc", expr(s"int(ceil(sz / $chunkSize.0))"))
+      .withColumn("c", explode(expr("sequence(0, nc - 1)")))
+      .repartition(sp, col("l_orderkey"), col("c"))
+      .select(col("ps"),
+        explode(expr("filter(sequence(0, sz - 1), j -> j % nc = c)")).as("i"))
+      .select(element_at(col("ps"), col("i") + lit(1)).as("p1"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("p2"))
+    small.unionByName(big)
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minOrders)

@@ -108,6 +108,12 @@ object MergeApply {
       strategy: WriteStrategy = WriteStrategy.CopyOnWrite): BatchStats = {
     val t0 = System.nanoTime()
     val spark = table.spark
+    // Callers reach this from arbitrary threads (streaming micro-batch
+    // loops, test runners); bind the table's session to this thread so
+    // plan nodes built outside Spark's withActive wrappers never capture
+    // a null session (observed: AQE-replanned aggregate NPE in
+    // resetMetrics when the thread had no active session).
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
     val cur = table.current
     val keyCols = table.keyCols
 

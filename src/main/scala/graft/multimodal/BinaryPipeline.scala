@@ -74,11 +74,20 @@ object BinaryPipeline {
     val spark = df.sparkSession
     import spark.implicits._
     val withBytes = withMeta(df)
-    val totalBytes = withBytes.agg(sum(col("n_bytes"))).head.get(0) match {
-      case null => 0L
-      case x: Long => x
-      case x: java.math.BigDecimal => x.longValue()
-    }
+    // Partition sizing comes from plan-time statistics: for a file-backed
+    // source this is the on-disk byte count the planner already knows, so
+    // no job runs. The old exact pass (sum(octet_length(payload))) read
+    // every payload byte — a full extra scan of the corpus just to pick a
+    // partition count. The exact aggregate survives only as the fallback
+    // for sources whose plan stats are the unknown sentinel.
+    val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val totalBytes =
+      if (statBytes > 0 && statBytes < BigInt(Long.MaxValue) / 4) statBytes.toLong
+      else withBytes.agg(sum(col("n_bytes"))).head.get(0) match {
+        case null => 0L
+        case x: Long => x
+        case x: java.math.BigDecimal => x.longValue()
+      }
     val parts = math.max(1, math.min(
       (totalBytes / math.max(1L, targetBytesPerPartition)).toInt + 1,
       spark.sparkContext.defaultParallelism * 4))
