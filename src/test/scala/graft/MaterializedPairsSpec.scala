@@ -53,6 +53,22 @@ class MaterializedPairsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked degenerate path emits exactly the narrow path's pairs") {
+    // force every order through the chunk-spread branch (chunkSize=2 vs
+    // part sets of ≤3) and require pair-level equality with the narrow
+    // branch — covers the stride/element_at index math on normal data,
+    // where the planted-order test only checks aggregate counts
+    val df = facts(300)
+    def pairsWith(cs: Int): Map[(Long, Long), Long] =
+      MaterializedPairs.candidatePairs(df, minOrders = 1L, chunkSize = cs)
+        .collect()
+        .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2")) -> r.getAs[Long]("n_orders"))
+        .toMap
+    val narrow = pairsWith(1024)
+    assert(narrow.nonEmpty)
+    assert(pairsWith(2) == narrow)
+  }
+
   test("planted degenerate hot order (10^4 distinct parts) expands without OOM") {
     import spark.implicits._
     val n = 10000
