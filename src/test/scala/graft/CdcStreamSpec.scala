@@ -13,7 +13,7 @@ import graft.lake.LakeTable
 
 class CdcStreamSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = Sessions.local(4, appName = "stream-spec")
+  lazy val spark: SparkSession = Sessions.local(8, appName = "stream-spec")
 
   private def tmp(): String = Files.createTempDirectory("graft-stream-").toString
 

@@ -13,7 +13,7 @@ import graft.gen.ChangeGen.GenConfig
   */
 class ChangeGenSpec extends AnyFunSuite {
 
-  lazy val spark = Sessions.local(4, appName = "changegen-spec")
+  lazy val spark = Sessions.local(8, appName = "changegen-spec")
 
   test("emitted stream contains LSN inversions, bounded by the window") {
     val cfg = GenConfig(numConvs = 50, maxTurns = 20, numEvents = 5000)

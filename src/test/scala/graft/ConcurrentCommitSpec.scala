@@ -16,7 +16,7 @@ import graft.lake.{CommitConflictException, FileEntry, LakeTable}
   */
 class ConcurrentCommitSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = Sessions.local(4, appName = "concurrent-commit-spec")
+  lazy val spark: SparkSession = Sessions.local(8, appName = "concurrent-commit-spec")
 
   private def tmp(): String = Files.createTempDirectory("graft-cc-").toString
 

@@ -18,7 +18,7 @@ import graft.enrich.{RulesConfig, Validation}
   */
 class ConfigSurfaceSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = Sessions.local(4, appName = "config-spec")
+  lazy val spark: SparkSession = Sessions.local(8, appName = "config-spec")
 
   test("validation + retry sections parse from config JSON") {
     val r = RulesConfig.parse(

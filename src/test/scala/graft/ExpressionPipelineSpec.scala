@@ -16,7 +16,7 @@ import graft.etl.ExpressionPipeline
   */
 class ExpressionPipelineSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = Sessions.local(4, appName = "etl-spec")
+  lazy val spark: SparkSession = Sessions.local(8, appName = "etl-spec")
 
   // reference melt fixture: 3 genes × 2 samples (test_enhanced_etl.py:237-274)
   private def writeTsv(): String = {

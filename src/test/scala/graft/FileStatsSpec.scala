@@ -19,7 +19,7 @@ import graft.lake.LakeTable
   */
 class FileStatsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = Sessions.local(4, appName = "filestats-spec")
+  lazy val spark: SparkSession = Sessions.local(8, appName = "filestats-spec")
 
   private def tmp(): String = Files.createTempDirectory("graft-fs-").toString
 

@@ -15,7 +15,7 @@ import graft.analytics.IncrementalStats
   */
 class IncrementalStatsSpec extends AnyFunSuite {
 
-  lazy val spark = Sessions.local(4, appName = "stats-spec")
+  lazy val spark = Sessions.local(8, appName = "stats-spec")
 
   private def obs(n: Int) = {
     import spark.implicits._

@@ -14,7 +14,7 @@ import graft.sources.JsonMetadata
   */
 class JsonMetadataSpec extends AnyFunSuite {
 
-  lazy val spark = Sessions.local(4, appName = "jsonmeta-spec")
+  lazy val spark = Sessions.local(8, appName = "jsonmeta-spec")
 
   private lazy val path = {
     val p = Files.createTempDirectory("graft-meta-").toString + "/aggregated_metadata.json"

@@ -19,7 +19,7 @@ import graft.lake.{FileEntry, LakeTable}
   */
 class LakeShardingSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = Sessions.local(4, appName = "sharding-spec")
+  lazy val spark: SparkSession = Sessions.local(8, appName = "sharding-spec")
 
   private def tmp(): String = Files.createTempDirectory("graft-shard-").toString
 

@@ -16,7 +16,7 @@ import graft.analytics.MaterializedPairs
   */
 class MaterializedPairsSpec extends AnyFunSuite {
 
-  lazy val spark = Sessions.local(4, appName = "mv-pairs-spec")
+  lazy val spark = Sessions.local(8, appName = "mv-pairs-spec")
 
   /** Synthetic facts: order o carries parts {o%5, (o*3)%7+10, (o*5)%4+20}
     * — small overlapping part sets so pairs recur across orders.

@@ -13,7 +13,7 @@ import graft.model.Model
 
 class MergeApplySpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = Sessions.local(4, appName = "merge-spec")
+  lazy val spark: SparkSession = Sessions.local(8, appName = "merge-spec")
 
   private def tmp(): String = Files.createTempDirectory("graft-lake-").toString
 

@@ -16,7 +16,7 @@ import graft.lake.{FileEntry, LakeTable}
   */
 class MergeOnReadSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = Sessions.local(4, appName = "mor-spec")
+  lazy val spark: SparkSession = Sessions.local(8, appName = "mor-spec")
 
   private def tmp(): String = Files.createTempDirectory("graft-mor-").toString
 

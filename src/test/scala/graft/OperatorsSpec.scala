@@ -9,7 +9,7 @@ import graft.sim.SimilarityQueries
 
 class OperatorsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = Sessions.local(4, appName = "operators-spec")
+  lazy val spark: SparkSession = Sessions.local(8, appName = "operators-spec")
   private val sf = "/root/testdata/sf0.001"
 
   // ---- MinHash-LSH near-dup detection (planted fixtures) ----

@@ -30,7 +30,7 @@ class ReplayPropertiesSpec extends AnyFunSuite {
       body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
     }
 
-  lazy val spark: SparkSession = Sessions.local(4, appName = "replay-props")
+  lazy val spark: SparkSession = Sessions.local(8, appName = "replay-props")
 
   private val ts = new Timestamp(1704067200000L)
 

@@ -16,7 +16,7 @@ import graft.cdc.Scd2History.Scd2Config
   */
 class Scd2Spec extends AnyFunSuite {
 
-  lazy val spark = Sessions.local(4, appName = "scd2-spec")
+  lazy val spark = Sessions.local(8, appName = "scd2-spec")
 
   private def changes(n: Int) = {
     import spark.implicits._

@@ -18,7 +18,7 @@ import graft.streaming.StreamAnalytics.{Session, SessionEvent}
   */
 class StreamingSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = Sessions.local(4, appName = "streaming-spec")
+  lazy val spark: SparkSession = Sessions.local(8, appName = "streaming-spec")
 
   private def ts(s: String): Timestamp =
     new Timestamp(Instant.parse(s).toEpochMilli)
