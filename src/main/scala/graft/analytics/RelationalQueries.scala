@@ -524,6 +524,46 @@ object RelationalQueries {
             CAST(nullif(regexp_extract(props, '"k": (\d+)', 1), '') AS INTEGER) AS k_val
             FROM events ORDER BY event_id"""))
 
+  /** C3 ▸ case-insensitive substring lookup with first-match precedence
+    * over a config lookup table (reference: manufacturer lookup,
+    * Scripts/python/enhanced_main_etl.py:476-482; Config/config.yaml:54-61)
+    * — [[graft.enrich.Classifiers.manufacturer]]'s when-chain over a
+    * caller-supplied table, here keyed on the part-name vocabulary.
+    */
+  private val c3 = Q("c3_manufacturer_lookup",
+    (spark, dir) => {
+      val lookup = Seq("widget" -> "WidgetWorks", "bolt" -> "BoltCo",
+        "gear" -> "GearFab", "ring" -> "RingCorp")
+      t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          graft.enrich.Classifiers.manufacturer(col("p_name"), lookup).as("maker"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name,
+            CASE WHEN contains(lower(p_name), 'widget') THEN 'WidgetWorks'
+                 WHEN contains(lower(p_name), 'bolt') THEN 'BoltCo'
+                 WHEN contains(lower(p_name), 'gear') THEN 'GearFab'
+                 WHEN contains(lower(p_name), 'ring') THEN 'RingCorp'
+                 ELSE 'Unknown' END AS maker
+            FROM part ORDER BY p_partkey"""))
+
+  /** A5 ▸ reconciliation counts: per-order expected-vs-resolved row
+    * accounting with a completeness flag (reference: reconcile counts
+    * after load, Scripts/python/enhanced_main_etl.py:998-1020 — rows_fact
+    * vs genes × resolved samples).
+    */
+  private val a5 = Q("a5_reconciliation",
+    (spark, dir) =>
+      t(spark, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .withColumn("complete", col("n_rows") === col("n_parts"))
+        .orderBy("l_orderkey"),
+    Some("""SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+            count(*) = count(DISTINCT l_partkey) AS complete
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   // ---------- window / rank family ----------
 
   /** W1/W2 ▸ multi-key ranked top-K (reference: ranked view + TOP,
@@ -799,6 +839,6 @@ object RelationalQueries {
               ON c.c_nationkey = n.n_nationkey
             ORDER BY c_custkey"""))
 
-  val all: Seq[Q] = Seq(m1, t3, j5, m7, c8, q1, a1, a2, a3, a4, a6, a7, a9, a9p, a9s,
-    j1, j2, j4, j6, j8, p1, p4, p5, p6, p8, p9, c1, c2, c5, s5, w1, w2, w4)
+  val all: Seq[Q] = Seq(m1, t3, j5, m7, c8, q1, a1, a2, a3, a4, a5, a6, a7, a9, a9p, a9s,
+    j1, j2, j4, j6, j8, p1, p4, p5, p6, p8, p9, c1, c2, c3, c5, s5, w1, w2, w4)
 }
