@@ -547,6 +547,27 @@ object RelationalQueries {
                  ELSE 'Unknown' END AS maker
             FROM part ORDER BY p_partkey"""))
 
+  /** J3 ▸ broadcast map-side key join used as a FILTER: restrict the fact
+    * scan to keys present in a small driver-side set (reference: the
+    * gene-universe filter applied during the melt,
+    * Scripts/python/enhanced_main_etl.py:628-640). Spark shape: left_semi
+    * against an explicitly broadcast dimension slice — no shuffle of the
+    * fact side, no payload duplication, and the filter runs map-side in
+    * the same stage as the scan.
+    */
+  private val j3 = Q("j3_semi_filter_join",
+    (spark, dir) => {
+      val promo = t(spark, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      t(spark, dir, "lineitem")
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_partkey")
+    },
+    Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+            ORDER BY l_orderkey, l_partkey"""))
+
   /** A5 ▸ reconciliation counts: per-order expected-vs-resolved row
     * accounting with a completeness flag (reference: reconcile counts
     * after load, Scripts/python/enhanced_main_etl.py:998-1020 — rows_fact
@@ -840,5 +861,5 @@ object RelationalQueries {
             ORDER BY c_custkey"""))
 
   val all: Seq[Q] = Seq(m1, t3, j5, m7, c8, q1, a1, a2, a3, a4, a5, a6, a7, a9, a9p, a9s,
-    j1, j2, j4, j6, j8, p1, p4, p5, p6, p8, p9, c1, c2, c3, c5, s5, w1, w2, w4)
+    j1, j2, j3, j4, j6, j8, p1, p4, p5, p6, p8, p9, c1, c2, c3, c5, s5, w1, w2, w4)
 }
