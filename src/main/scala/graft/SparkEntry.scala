@@ -92,6 +92,70 @@ object SparkEntry {
   private def expireOracle: String =
     cdcReplayOracle.replace(changeLogDump, expireChangeLogDump)
 
+  /** M4 ▸ merge-mode replay: batch 0 applies as plain UPSERT, batch 1
+    * under the given restricted mode. The dump carries the batch index so
+    * the oracle can replay the gate: INSERT_ONLY admits batch-1 events
+    * only for keys with no live row after batch 0 (tombstones dropped
+    * pre-gate); UPDATE_ONLY admits only keys with a live row (tombstones
+    * kept — a matched delete kills the row). Winners are then re-resolved
+    * by LSN over (batch-0 survivors ∪ admitted batch-1 events) exactly
+    * like the merge kernel — NOT "batch 1 always wins": duplicate
+    * re-emissions in batch 1 can carry original batch-0 LSNs, which must
+    * lose to a later current row.
+    */
+  private def modeReplay(spark: SparkSession, mode: graft.cdc.MergeMode,
+      dump: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val cfg = GenConfig(numEvents = 2000L)
+    val per = cfg.totalRows / 2
+    val s0 = ChangeGen.eventSlice(spark, cfg, 0, per).toDF()
+    val s1 = ChangeGen.eventSlice(spark, cfg, per, cfg.totalRows).toDF()
+    s0.withColumn("_b", lit(0)).unionByName(s1.withColumn("_b", lit(1)))
+      .coalesce(1).write.mode("overwrite").parquet(dump)
+    val root = java.nio.file.Files.createTempDirectory("graft-mode-").toString + "/transcripts"
+    val table = LakeTable.create(spark, root, schemaVer = 1, numBuckets = 8)
+    MergeApply.applyBatch(table, s0, epochId = 0L)
+    MergeApply.applyBatch(table, s1, epochId = 1L, mode = mode)
+    table.read().orderBy("conv_id", "turn_idx")
+  }
+
+  private val insertOnlyDump = "/tmp/graft_oracle/cdc_change_events_m4i"
+  private val updateOnlyDump = "/tmp/graft_oracle/cdc_change_events_m4u"
+
+  /** Batch-0 winners (`b0w`, tombstones INCLUDED) carry lsn and op so the
+    * final resolve ranks them against batch-1 candidates exactly like the
+    * merge kernel ranks current rows against the admitted batch: a batch-1
+    * duplicate re-emission with an original (older) lsn must lose to the
+    * tombstone that out-ranked it in batch 0. The GATE, by contrast, sees
+    * only `live0` (non-deleted winners) — a dead key is "not matched".
+    * (No `--` comments inside the SQL: oracleSql flattens to one line.)
+    */
+  private def modeOracle(dump: String, gate: String): String =
+    s"""WITH b0w AS (
+          SELECT conv_id, turn_idx, lsn, op, role, text, tool, ts FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                         ORDER BY lsn DESC) AS rn
+            FROM read_parquet('$dump/*.parquet') WHERE _b = 0)
+          WHERE rn = 1),
+        live0 AS (SELECT * FROM b0w WHERE op <> 'D'),
+        cand1 AS (
+          SELECT conv_id, turn_idx, lsn, op, role, text, tool, ts
+          FROM read_parquet('$dump/*.parquet') d WHERE _b = 1 AND $gate),
+        resolved AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY lsn DESC) AS rn
+          FROM (SELECT * FROM b0w UNION ALL SELECT * FROM cand1))
+        SELECT conv_id, turn_idx, role, text, tool, ts FROM resolved
+        WHERE rn = 1 AND op <> 'D' ORDER BY conv_id, turn_idx"""
+
+  private def insertOnlyOracle: String = modeOracle(insertOnlyDump,
+    """d.op <> 'D' AND NOT EXISTS (SELECT 1 FROM live0 l
+         WHERE l.conv_id = d.conv_id AND l.turn_idx = d.turn_idx)""")
+
+  private def updateOnlyOracle: String = modeOracle(updateOnlyDump,
+    """EXISTS (SELECT 1 FROM live0 l
+         WHERE l.conv_id = d.conv_id AND l.turn_idx = d.turn_idx)""")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.run).toMap +
@@ -107,7 +171,15 @@ object SparkEntry {
       // the final state must still equal the naive LWW oracle.
       ("cdc_replay_expire" ->
         ((s: SparkSession, _: String) => cdcReplay(s, 2000L, 4, Some(expireChangeLogDump),
-          expireMaintenance = true)))
+          expireMaintenance = true))) +
+      // M4 merge modes on the driver-checked path: batch 1 under
+      // INSERT_ONLY / UPDATE_ONLY, oracle replays the gate + LWW resolve.
+      ("m4_insert_only" ->
+        ((s: SparkSession, _: String) =>
+          modeReplay(s, graft.cdc.MergeMode.InsertOnly, insertOnlyDump))) +
+      ("m4_update_only" ->
+        ((s: SparkSession, _: String) =>
+          modeReplay(s, graft.cdc.MergeMode.UpdateOnly, updateOnlyDump)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -116,6 +188,8 @@ object SparkEntry {
     (catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap +
       ("cdc_replay_final_state" -> cdcReplayOracle) +
       ("cdc_replay_mor" -> morOracle) +
-      ("cdc_replay_expire" -> expireOracle))
+      ("cdc_replay_expire" -> expireOracle) +
+      ("m4_insert_only" -> insertOnlyOracle) +
+      ("m4_update_only" -> updateOnlyOracle))
       .map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
