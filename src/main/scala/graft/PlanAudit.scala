@@ -54,6 +54,13 @@ object PlanAudit {
     audit("j5_anti_join_dedup",
       "left anti join" -> (p => p.contains("LeftAnti")),
       "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    // semi filter join: key filter runs map-side against a broadcast
+    // dimension slice — the fact side is never exchanged for the join
+    audit("j3_semi_filter_join",
+      "broadcast left-semi" -> (p =>
+        p.contains("BroadcastHashJoin") && p.contains("LeftSemi")),
+      "fact side not shuffled for the join" -> (p =>
+        !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")))
     // scalar-threshold queries are ONE lazy plan: building the DataFrame
     // must run zero QUERY jobs (a driver-side .head probe would run one —
     // two scans and two scheduling rounds per query at scale). Spark 4
