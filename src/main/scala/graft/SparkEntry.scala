@@ -62,11 +62,11 @@ object SparkEntry {
       // the staging-purge lifecycle (S10) on the driver-checked path.
       if (expireMaintenance && b == batches / 2 - 1) {
         table.compact(maxFilesPerBucket = 1)
-        table.expireSnapshots(keepLast = 1)
+        table.expireSnapshots(keepLast = 1, orphanGraceMs = 0L)
       }
     }
     // post-replay expiry: the final read below runs over a fully GC'd table
-    if (expireMaintenance) table.expireSnapshots(keepLast = 1)
+    if (expireMaintenance) table.expireSnapshots(keepLast = 1, orphanGraceMs = 0L)
     table.read().orderBy("conv_id", "turn_idx")
   }
 

@@ -114,6 +114,12 @@ object IncrementalStats {
     // per-group `_hsum` sums deltas() carries — exact values, no float
     // recomputation), falling back to hashing the delta columns when the
     // caller built its own delta without `_hsum`.
+    // UPGRADE NOTE: this definition replaced a float-aggregate hash, so
+    // hashes recorded by the previous release never match ones computed
+    // here — the redelivery guard is blind across that one upgrade.
+    // Operational rule: do not swap checkpoints in the same deploy that
+    // upgrades the engine (the per-writer epoch fence then covers
+    // redelivery on its own, no hash needed).
     val bhCol =
       if (delta.columns.contains("_hsum")) LakeTable.batchContentHashFromSums(col("_hsum"))
       else LakeTable.batchContentHash(Seq(col("group_key"), col("k"), col("s1"),

@@ -74,36 +74,57 @@ object CdcStream {
       .schema(Model.changeEventSchema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(eventsDir)
+    // Retry scope is PER PHASE, not the whole epoch body: a transient
+    // failure in a post-commit write must retry only that write — wrapping
+    // everything would re-run the (now epoch-fenced) merge and take the
+    // applied=false path, silently dropping the epoch's QC row and its
+    // scheduled compaction on every transient post-commit error. Each
+    // phase retries safely on its own: the merge is commit-fenced, the
+    // observability channels overwrite by epoch, and compaction is
+    // idempotent maintenance.
     val writer = events.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, epochId: Long) => Retry.run(cfg.retry, s"epoch $epochId apply") {
-        val stats = MergeApply.applyBatch(table, batch, epochId, cfg.saltFactor,
-          mode = cfg.mode, writerId = wid, strategy = cfg.strategy)
-        if (stats.applied) {
-          emitMetrics(spark, table.root, stats)
-          emitQc(spark, table.root, stats)
-          emitLineage(spark, table.root, stats,
-            sourceFilesOf(spark, checkpointDir, epochId))
-          if (cfg.compactEveryEpochs > 0 && epochId % cfg.compactEveryEpochs == (cfg.compactEveryEpochs - 1))
-            table.compact(foldDeltas = true)
-        } else {
-          // Crash-window replay: the epoch's commit already applied but the
-          // metrics/lineage writes may have been lost with the crash. The
-          // commit stats live in the manifest, so the rows are re-derived
-          // and re-written — combined with overwrite-by-epoch emission this
-          // makes observability exactly-once, not at-most-once.
-          val cur = table.current
-          if (cur.epochId == epochId && cur.writerId == wid && cur.inputEvents >= 0) {
-            val replayStats = BatchStats(epochId, applied = true, cur.id,
-              cur.inputEvents, cur.dedupedKeys, 0, cur.schemaVer, cur.maxLsn,
-              cur.rows, cur.mergeMs)
-            emitMetrics(spark, table.root, replayStats)
-            emitLineage(spark, table.root, replayStats,
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val stats = Retry.run(cfg.retry, s"epoch $epochId apply") {
+          MergeApply.applyBatch(table, batch, epochId, cfg.saltFactor,
+            mode = cfg.mode, writerId = wid, strategy = cfg.strategy)
+        }
+        Retry.run(cfg.retry, s"epoch $epochId observability") {
+          if (stats.applied) {
+            emitMetrics(spark, table.root, stats)
+            emitQc(spark, table.root, stats)
+            emitLineage(spark, table.root, stats,
               sourceFilesOf(spark, checkpointDir, epochId))
+          } else {
+            // Crash-window replay: the epoch's commit already applied but
+            // the metrics/lineage writes may have been lost with the crash.
+            // The commit stats live in the manifest, so the rows are
+            // re-derived and re-written — combined with overwrite-by-epoch
+            // emission this makes observability exactly-once, not
+            // at-most-once. (QC is not replayed: its observed values rode
+            // the lost write plan and are not recoverable from the
+            // manifest; fabricating zeros would be worse than absence.)
+            val cur = table.current
+            if (cur.epochId == epochId && cur.writerId == wid && cur.inputEvents >= 0) {
+              val replayStats = BatchStats(epochId, applied = true, cur.id,
+                cur.inputEvents, cur.dedupedKeys, 0, cur.schemaVer, cur.maxLsn,
+                cur.rows, cur.mergeMs)
+              emitMetrics(spark, table.root, replayStats)
+              emitLineage(spark, table.root, replayStats,
+                sourceFilesOf(spark, checkpointDir, epochId))
+            }
           }
         }
+        // Maintenance fires on the SCHEDULE, not on `applied`: a fenced
+        // re-run of the scheduled epoch must not skip its compaction round
+        // (the delta stack would grow for another full period).
+        if (cfg.compactEveryEpochs > 0 &&
+          epochId % cfg.compactEveryEpochs == (cfg.compactEveryEpochs - 1))
+          Retry.run(cfg.retry, s"epoch $epochId compaction") {
+            table.compact(foldDeltas = true)
+          }
         ()
-      }}
+      }
     (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(cfg.triggerMs)))
       .start()

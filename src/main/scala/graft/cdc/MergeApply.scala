@@ -258,11 +258,19 @@ object MergeApply {
         else table.readConformed(cur, Some(touched)).filter(!col("_deleted")).count()
       }
 
+    // A merge-on-read commit replaces nothing, but a GATED mode's output
+    // was derived from a liveness probe of the touched buckets — that read
+    // set must pass the serializable check (InsertOnly admitting a key a
+    // concurrent writer has since made live would overwrite it at
+    // read-time LWW). Plain upsert under MoR reads nothing: pure append.
+    val gateReadBuckets: Set[Int] =
+      if (isMor && mode != MergeMode.Upsert) touched else Set.empty
     val res: CommitResult = timed("commit")(table.commit(files,
       if (isMor) Set.empty else touched, epochId, newVer,
       rowDelta = newLive - oldLive, maxLsnSeen = batchMaxLsn,
       writerId = writerId, inputEvents = inputEvents, dedupedKeys = newKeys,
-      mergeMs = elapsedMs(t0), baseSnapshotId = cur.id))
+      mergeMs = elapsedMs(t0), baseSnapshotId = cur.id,
+      derivedBuckets = gateReadBuckets))
     BatchStats(epochId, res.applied, res.snapshot.id, inputEvents, newKeys,
       touched.size, newVer, res.snapshot.maxLsn, res.snapshot.rows, elapsedMs(t0),
       observedRows = obsRows, observedLive = obsLive,

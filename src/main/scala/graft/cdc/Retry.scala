@@ -46,9 +46,13 @@ object Retry {
     case _ => false
   }
 
-  /** Run `body`, retrying per `policy` on non-deterministic failures with
-    * exponential backoff. The last failure (or any deterministic one)
-    * propagates unchanged.
+  /** Run `body`, retrying per `policy` on non-deterministic NON-FATAL
+    * failures with exponential backoff. The last failure (or any
+    * deterministic one) propagates unchanged. Fatal errors (OOM, stack
+    * overflow) and interrupts are NEVER retried: a corrupted JVM must
+    * surface immediately, and an interrupt means the stream is stopping —
+    * catching it (which clears the flag) and re-running the epoch would
+    * fight the shutdown, so it propagates with the flag restored.
     */
   def run[T](policy: RetryPolicy, what: String)(body: => T): T = {
     var attempt = 1
@@ -56,7 +60,11 @@ object Retry {
     while (true) {
       try return body
       catch {
-        case e: Throwable if attempt < policy.maxAttempts && !deterministic(e) =>
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case scala.util.control.NonFatal(e)
+            if attempt < policy.maxAttempts && !deterministic(e) =>
           System.err.println(s"[retry] $what attempt $attempt/${policy.maxAttempts} failed " +
             s"(${e.getClass.getSimpleName}: ${e.getMessage}) — retrying in $backoff ms")
           Thread.sleep(backoff)

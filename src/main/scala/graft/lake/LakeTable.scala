@@ -202,23 +202,51 @@ final class LakeTable(
   // ---- metadata ----
 
   def current: Snapshot = {
-    // Bounded retry on not-found: HDFS/POSIX renames are atomic, but
-    // Hadoop's local-FS FileContext rename(OVERWRITE) deletes the
-    // destination before renaming — a concurrent reader can land in that
-    // window. swapCurrent uses NIO ATOMIC_MOVE on file:// so the window is
-    // closed there; the retry covers any other FS with the same flaw.
+    val name = currentName()
+    // Bounded retry on manifest not-found: the pointer exists, so a
+    // missing target is the swap window (or a racing expiry) — transient
+    // by construction. HDFS/POSIX renames are atomic, but Hadoop's
+    // local-FS FileContext rename(OVERWRITE) deletes the destination
+    // before renaming — a concurrent reader can land in that window.
+    // swapCurrent uses NIO ATOMIC_MOVE on file:// so the window is closed
+    // there; the retry covers any other FS with the same flaw.
     var lastErr: java.io.FileNotFoundException = null
     var i = 0
     while (i < 40) {
-      try {
-        val name = readString(fs, currentPtr).trim
-        return readManifest(fs, new Path(metaDir, name))
-      } catch {
+      val nm = if (i == 0) name else currentName()
+      try return readManifest(fs, new Path(metaDir, nm))
+      catch {
         case e: java.io.FileNotFoundException => lastErr = e; Thread.sleep(10)
       }
       i += 1
     }
     throw lastErr
+  }
+
+  /** Current snapshot id from the pointer alone — no manifest read, no
+    * group resolution. The claim-race poll compares only ids, so polling
+    * the FULL snapshot (up to 64 group-manifest round trips on a sharded
+    * table, every 25 ms) would turn the wait into a metadata storm.
+    */
+  def currentId: Long =
+    currentName().stripPrefix("snap-").stripSuffix(".json").toLong
+
+  /** Read the `_current` pointer with a SHORT retry: a missing pointer is
+    * either a table that does not exist (fail fast, clear message) or the
+    * sub-10ms rename window of a flawed FS (retry a few times).
+    */
+  private def currentName(): String = {
+    var i = 0
+    var lastErr: java.io.FileNotFoundException = null
+    while (i < 5) {
+      try return readString(fs, currentPtr).trim
+      catch {
+        case e: java.io.FileNotFoundException => lastErr = e; Thread.sleep(10)
+      }
+      i += 1
+    }
+    throw new java.io.FileNotFoundException(
+      s"no lake table at $root (missing ${currentPtr}): ${lastErr.getMessage}")
   }
 
   def snapshotIds: Seq[Long] = {
@@ -318,8 +346,11 @@ final class LakeTable(
     * rows — so the commit throws [[CommitConflictException]] instead (the
     * caller re-reads and re-derives). Append-only commits
     * (`replacedBuckets` empty) rebase unconditionally, like Iceberg
-    * appends: their files derive only from batch input, never from table
-    * state.
+    * appends, WHEN their files derive only from batch input, never from
+    * table state; an append whose CONTENT was derived from a read of the
+    * table (a merge-mode gate probing live keys under merge-on-read)
+    * passes those read buckets as `derivedBuckets` so the same
+    * serializable check covers its read set.
     */
   def commit(
       newFiles: Seq[FileEntry],
@@ -333,7 +364,8 @@ final class LakeTable(
       dedupedKeys: Long = -1L,
       mergeMs: Long = -1L,
       batchHash: Option[Long] = None,
-      baseSnapshotId: Long = -1L): CommitResult = synchronized {
+      baseSnapshotId: Long = -1L,
+      derivedBuckets: Set[Int] = Set.empty): CommitResult = synchronized {
     var attempt = 0
     while (attempt <= maxCommitRetries) {
       val cur = current
@@ -353,12 +385,15 @@ final class LakeTable(
           s"re-delivered an already-applied batch (hash ${batchHash.get}) — commit skipped")
         return CommitResult(cur, applied = false)
       }
-      // Serializable check for bucket-replacing commits: if the table moved
-      // past the snapshot our files were derived from, every missed commit
-      // must be write-set-disjoint from ours, else rows it wrote to our
-      // buckets would vanish under the blind file replacement below.
-      if (replacedBuckets.nonEmpty && baseSnapshotId >= 0 && cur.id != baseSnapshotId)
-        validateDisjointSince(baseSnapshotId, cur, replacedBuckets, writerId)
+      // Serializable check for commits whose content depends on table
+      // state: if the table moved past the snapshot we derived from, every
+      // missed commit must be write-set-disjoint from our write set (blind
+      // file replacement would drop its rows) AND from our read set (a
+      // merge-mode gate probed liveness there — e.g. InsertOnly admitted a
+      // key another writer has since made live).
+      val dependsOn = replacedBuckets ++ derivedBuckets
+      if (dependsOn.nonEmpty && baseSnapshotId >= 0 && cur.id != baseSnapshotId)
+        validateDisjointSince(baseSnapshotId, cur, dependsOn, writerId)
       val kept = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
       val allFiles = kept ++ newFiles
       // Live-row count is exact from manifest stats while the one-version-
@@ -421,8 +456,16 @@ final class LakeTable(
   private def shardGroupRefs(cur: Snapshot, allFiles: Seq[FileEntry],
       replacedBuckets: Set[Int], newFiles: Seq[FileEntry]): Seq[GroupRef] = {
     val gsz = groupSize(cur.numBuckets)
-    val changed = (replacedBuckets.iterator ++ newFiles.iterator.map(_.bucket))
+    val touched = (replacedBuckets.iterator ++ newFiles.iterator.map(_.bucket))
       .map(_ / gsz).toSet
+    // Inline→sharded migration: a parent written in the inline format (or
+    // pre-sharding) has no groupRefs to carry forward — on the FIRST
+    // sharded commit every group holding files must be materialized, else
+    // the untouched groups' files silently vanish from the persisted
+    // snapshot (and the next expiry would GC their data as orphans).
+    val changed =
+      if (cur.groupRefs.isEmpty) touched ++ allFiles.iterator.map(_.bucket / gsz).toSet
+      else touched
     val kept = cur.groupRefs.filterNot(r => changed.contains(r.g))
     val byGroup = allFiles.groupBy(_.bucket / gsz)
     val fresh = changed.toSeq.sorted.flatMap { g =>
@@ -455,8 +498,12 @@ final class LakeTable(
             s"touched buckets ${overlap.mkString(",")} that writer '$writerId' derived its " +
             s"files from (base snapshot $base) — re-read and retry")
       id = s.parent
+      // Header-only parse: the walk reads `touched`/`parent`/`writerId`,
+      // never file lists — resolving a sharded snapshot's group manifests
+      // here would cost up to 64 extra metadata reads per missed commit on
+      // the commit critical path.
       if (id > base) s =
-        try snapshot(id)
+        try LakeTable.parseManifest(readString(fs, snapPath(id)))
         catch {
           case e: Exception => throw new CommitConflictException(
             s"concurrent commit conflict at $root: snapshot $id expired before writer " +
@@ -473,7 +520,7 @@ final class LakeTable(
   private def awaitCurrentAdvance(beyondId: Long, writerId: String): Unit = {
     val deadline = System.nanoTime() + claimWaitMs * 1000000L
     while (System.nanoTime() < deadline) {
-      if (current.id > beyondId) return
+      if (currentId > beyondId) return
       Thread.sleep(25)
     }
     throw new CommitConflictException(
@@ -794,29 +841,49 @@ final class LakeTable(
     * snapshot references (reference analog: staging purge / retention,
     * Scripts/ETL_Framework_Implementation.sql:445-485).
     */
-  def expireSnapshots(keepLast: Int = 2): Unit = {
+  /** @param orphanGraceMs age floor for ORPHAN deletion (group manifests /
+    *                      data files referenced by no kept snapshot). A
+    *                      concurrent committer writes its data files and
+    *                      group manifests BEFORE it claims `snap-N`, so an
+    *                      expiry running in that window sees them as
+    *                      orphans — deleting them would corrupt the commit
+    *                      the moment it lands. Files younger than the
+    *                      grace are skipped (a claimed-but-unswapped
+    *                      snapshot needs no grace: its manifest is listed,
+    *                      so its refs and files are already live here).
+    *                      Single-writer maintenance (tests, in-replay GC)
+    *                      passes 0 for immediate reclamation.
+    */
+  def expireSnapshots(keepLast: Int = 2,
+      orphanGraceMs: Long = defaultOrphanGraceMs): Unit = {
     val ids = snapshotIds
     val curId = current.id
     val keep = ids.filter(_ >= curId - keepLast + 1).toSet + curId
     val keptSnaps = keep.toSeq.map(snapshot)
     val live: Set[String] = keptSnaps.flatMap(_.files.map(_.path)).toSet
-    // delete dead snapshot manifests
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    // delete dead snapshot manifests (id-based: never younger than kept)
     ids.filterNot(keep).foreach(id => fs.delete(snapPath(id), false))
     // delete group manifests no kept snapshot references (expired
-    // snapshots' groups + orphans from lost commit-claim races)
+    // snapshots' groups + orphans from lost commit-claim races), unless
+    // young enough to be an in-flight commit's pre-claim write
     val liveRefs: Set[String] = keptSnaps.flatMap(_.groupRefs.map(_.path)).toSet
-    fs.listStatus(metaDir).map(_.getPath)
-      .filter(p => p.getName.startsWith("m-") && p.getName.endsWith(".json") &&
-        !liveRefs.contains(p.getName))
-      .foreach(p => fs.delete(p, false))
-    // delete orphan data files
+    fs.listStatus(metaDir)
+      .filter(st => st.getPath.getName.startsWith("m-") &&
+        st.getPath.getName.endsWith(".json") &&
+        !liveRefs.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
+    // delete orphan data files, same grace
     val dataDir = new Path(rootPath, "data")
     if (fs.exists(dataDir)) {
       val it = fs.listFiles(dataDir, true)
       val dead = mutable.ArrayBuffer[Path]()
       while (it.hasNext) {
-        val p = it.next().getPath
-        if (p.getName.endsWith(".parquet") && !live.contains(p.toString)) dead += p
+        val st = it.next()
+        val p = st.getPath
+        if (p.getName.endsWith(".parquet") && !live.contains(p.toString) &&
+          st.getModificationTime < cutoff) dead += p
       }
       dead.foreach(p => fs.delete(p, false))
     }
@@ -869,6 +936,13 @@ object LakeTable {
     */
   def claimWaitMs: Long =
     sys.props.get("graft.lake.claimWaitMs").map(_.toLong).getOrElse(5000L)
+
+  /** Default orphan-deletion age floor for [[LakeTable.expireSnapshots]]:
+    * long enough that any concurrent commit whose data files / group
+    * manifests predate its `snap-N` claim has claimed (or died) before its
+    * artifacts become eligible — the Iceberg remove-orphans pattern.
+    */
+  val defaultOrphanGraceMs: Long = 30L * 60 * 1000
 
   /** Tables with more buckets than this use the SHARDED manifest format:
     * file entries live in per-bucket-group manifest files and the snapshot

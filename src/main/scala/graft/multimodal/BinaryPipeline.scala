@@ -80,9 +80,17 @@ object BinaryPipeline {
     // every payload byte — a full extra scan of the corpus just to pick a
     // partition count. The exact aggregate survives only as the fallback
     // for sources whose plan stats are the unknown sentinel.
+    // The stat is COMPRESSED on-disk bytes while the budget protects
+    // in-memory decoded payload, so it is scaled by a conservative
+    // decompression factor — over-partitioning costs a few extra tasks,
+    // under-partitioning OOMs the per-partition decode this knob exists to
+    // bound. (Real media bytes are mostly entropy-coded already; 4x covers
+    // parquet's framing plus moderately compressible payloads.)
+    val decompressionFactor = 4L
     val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val totalBytes =
-      if (statBytes > 0 && statBytes < BigInt(Long.MaxValue) / 4) statBytes.toLong
+      if (statBytes > 0 && statBytes < BigInt(Long.MaxValue) / 8)
+        statBytes.toLong * decompressionFactor
       else withBytes.agg(sum(col("n_bytes"))).head.get(0) match {
         case null => 0L
         case x: Long => x

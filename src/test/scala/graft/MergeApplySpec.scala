@@ -146,7 +146,7 @@ class MergeApplySpec extends AnyFunSuite {
     assert(table.current.files.size < filesBefore)
     assert(finalState(table) == before)
     // expiry keeps the table readable and GCs orphans
-    table.expireSnapshots(keepLast = 1)
+    table.expireSnapshots(keepLast = 1, orphanGraceMs = 0L)
     assert(finalState(table) == before)
   }
 
