@@ -907,20 +907,47 @@ object Bench {
     md ++= "  happened to land on.\n\n"
     md ++= "Per-query seconds:\n\n| query | sec |\n|---|---|\n"
     queryTimes.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
+    val prevDoc = {
+      val p = Paths.get("BENCH/BASELINE.md")
+      if (Files.exists(p)) Files.readString(p) else ""
+    }
     if (queryTimes.isEmpty) {
       // replay-only run: keep the previous run's per-query table
-      val prev = Paths.get("BENCH/BASELINE.md")
-      if (Files.exists(prev)) {
-        val old = Files.readString(prev)
-        val i = old.indexOf("Per-query seconds:")
-        if (i >= 0) {
-          val keep = md.toString
-          val cut = keep.indexOf("Per-query seconds:")
-          md.setLength(0)
-          md ++= keep.take(cut) + old.substring(i)
-        }
+      val i = prevDoc.indexOf("Per-query seconds:")
+      if (i >= 0) {
+        val keep = md.toString
+        val cut = keep.indexOf("Per-query seconds:")
+        md.setLength(0)
+        // strip the old doc's history section — re-appended fresh below
+        val frag = prevDoc.substring(i)
+        val h = frag.indexOf("## Run history")
+        md ++= keep.take(cut) + (if (h >= 0) frag.take(h) else frag)
       }
     }
+    // ---- run history: PRESERVED across rewrites, one row per protocol
+    // run. The table above always shows THIS run; the defensible engine
+    // number is the best steal-clean row here — a later run measured in a
+    // worse (or turbo-skewed) host window must not erase the record of a
+    // clean one.
+    val oldRows = {
+      val i = prevDoc.indexOf("## Run history")
+      if (i < 0) Seq.empty
+      else prevDoc.substring(i).linesIterator
+        .filter(_.startsWith("| 20")).toSeq // data rows start with the year
+    }
+    val when = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+    val newRow = f"| $when | $headlineSource | $eff%.3f | $epsN%,.0f | " +
+      f"$eps4N%,.0f | $events%,d | ($cleanN,$clean4N) |"
+    md ++= "\n## Run history\n\n"
+    md ++= "Every completed protocol run on this checkout, newest last. The\n"
+    md ++= "headline table above shows the LATEST run; the defensible engine\n"
+    md ++= "number is the best steal-clean row here (the host-window swing —\n"
+    md ++= "steal, sys-storms, turbo bias on the narrow side — is documented\n"
+    md ++= "in the caveats and moves the quotient, not the engine).\n\n"
+    md ++= "| when (UTC) | source | eff | N ev/s | 4N ev/s | events | clean(N,4N) |\n"
+    md ++= "|---|---|---|---|---|---|---|\n"
+    md ++= (oldRows.takeRight(19) :+ newRow).mkString("\n") + "\n"
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md.toString)
     ()
