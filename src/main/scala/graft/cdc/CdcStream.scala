@@ -3,6 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
 
 import graft.lake.LakeTable
 import graft.model.Model
@@ -150,22 +151,37 @@ object CdcStream {
     * batch it is a LogicalRDD with no file provenance, so lineage is read
     * from the offset log — which is exactly the "source offset" the north
     * rule asks to link to the committed snapshot id.
+    *
+    * Every compact-interval-th batch (CompactibleFileStreamLog, default
+    * 10) is written as `<epochId>.compact` holding ALL entries so far
+    * instead of a plain per-batch file — for those epochs the compact file
+    * is read and filtered to THIS batch's entries by their `batchId`
+    * field, else 1 in 10 epochs would silently record no lineage.
     */
   private def sourceFilesOf(spark: SparkSession, checkpointDir: String, epochId: Long): Seq[String] = {
     try {
-      val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/0/$epochId")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) return Nil
+      val dir = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/0")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val plain = new org.apache.hadoop.fs.Path(dir, epochId.toString)
+      val compacted = new org.apache.hadoop.fs.Path(dir, s"$epochId.compact")
+      val (p, fromCompact) =
+        if (fs.exists(plain)) (plain, false)
+        else if (fs.exists(compacted)) (compacted, true)
+        else return Nil
       val in = fs.open(p)
       val content = try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def keep(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+        !fromCompact || !n.has("batchId") || n.get("batchId").asLong() == epochId
       content.linesIterator.filter(l => l.startsWith("{") || l.startsWith("["))
         .flatMap { line =>
           val n = mapper.readTree(line)
-          if (n.isArray) (0 until n.size()).map(i => n.get(i).get("path").asText())
-          else if (n.has("path")) Seq(n.get("path").asText())
+          if (n.isArray)
+            (0 until n.size()).map(n.get).filter(keep)
+              .map(_.get("path").asText())
+          else if (n.has("path") && keep(n)) Seq(n.get("path").asText())
           else Nil
         }.toSeq
     } catch { case _: Exception => Nil }
@@ -203,8 +219,38 @@ object CdcStream {
   }
 
   /** Read back the QC table. */
+  /** Cold-start safe read of an observability channel: a table where no
+    * epoch has applied yet (or whose every batch was empty/fenced) has no
+    * channel directory — monitoring must see an empty table with the
+    * channel's schema, not an AnalysisException.
+    */
+  private def channel(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val exists = try p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      catch { case _: Exception => false }
+    if (exists) spark.read.option("recursiveFileLookup", "true").schema(schema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private val qcSchema = StructType(Seq(
+    StructField("epoch_id", LongType), StructField("input_events", LongType),
+    StructField("n_deletes", LongType), StructField("n_null_text", LongType),
+    StructField("delete_rate", DoubleType), StructField("null_text_rate", DoubleType)))
+
+  private val metricsSchema = StructType(Seq(
+    StructField("epoch_id", LongType), StructField("snapshot_id", LongType),
+    StructField("input_events", LongType), StructField("deduped_keys", LongType),
+    StructField("touched_buckets", IntegerType), StructField("schema_ver", IntegerType),
+    StructField("max_lsn", LongType), StructField("live_rows", LongType),
+    StructField("duration_ms", LongType), StructField("events_per_sec", DoubleType),
+    StructField("observed_rows", LongType), StructField("observed_live", LongType)))
+
+  private val lineageSchema = StructType(Seq(
+    StructField("source_file", StringType), StructField("epoch_id", LongType),
+    StructField("snapshot_id", LongType)))
+
   def qc(spark: SparkSession, tableRoot: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$tableRoot/_qc")
+    channel(spark, s"$tableRoot/_qc", qcSchema)
 
   private def emitLineage(spark: SparkSession, root: String, s: BatchStats,
       sourceFiles: Seq[String]): Unit = {
@@ -217,9 +263,9 @@ object CdcStream {
 
   /** Read back the metrics table (per-batch observability surface). */
   def metrics(spark: SparkSession, tableRoot: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$tableRoot/_metrics")
+    channel(spark, s"$tableRoot/_metrics", metricsSchema)
 
   /** Read back the lineage table: source file → epoch → snapshot. */
   def lineage(spark: SparkSession, tableRoot: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$tableRoot/_lineage")
+    channel(spark, s"$tableRoot/_lineage", lineageSchema)
 }

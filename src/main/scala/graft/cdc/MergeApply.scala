@@ -9,9 +9,14 @@ import graft.model.Model
 
 /** M4 ▸ merge modes (reference: sp_merge_staging_to_production declares
   * @merge_type UPSERT | INSERT_ONLY | UPDATE_ONLY,
-  * Scripts/ETL_Framework_Implementation.sql:336-399). Within-batch LSN
-  * dedup applies in every mode; the mode then gates which deduped events
-  * may touch the table:
+  * Scripts/ETL_Framework_Implementation.sql:336-399). The mode gate
+  * applies at the EVENT level, before within-batch LSN dedup — the order
+  * row-by-row SQL MERGE produces: under INSERT_ONLY, I(k,1) then D(k,2)
+  * in one batch inserts k with the lsn-1 payload (the insert lands, the
+  * matched delete has no arm), which event-level gating reproduces and
+  * dedup-first would not (D would win the dedup and nothing would
+  * insert). The driver oracle (`m4_*` in SparkEntry) encodes exactly this
+  * order. LSN dedup then resolves among the ADMITTED events:
   *   - [[MergeMode.Upsert]]      matched → update/delete, unmatched → insert
   *   - [[MergeMode.InsertOnly]]  only keys with no LIVE current row are
   *                               inserted; deletes are dropped (no matched arm)
@@ -162,7 +167,11 @@ object MergeApply {
     //    tombstone counts as NOT matched, same as SQL MERGE after DELETE).
     //    Gating is the only reason merge-on-read would read the table, so
     //    the key probe is column-pruned and LWW-resolved; plain Upsert
-    //    under merge-on-read never reads the table at all.
+    //    under merge-on-read never reads the table at all. Under
+    //    copy-on-write the probe adds a second, KEY-ONLY scan of the
+    //    touched buckets next to the full-width currentRows read below —
+    //    a ~key-column-sized overhead, accepted over threading one
+    //    resolve through both the gate and the union.
     def liveKeys = table.readResolved(cur, Some(touched))
       .filter(!col("_deleted")).select(keyCols.map(col): _*)
     val gatedBatch = mode match {
@@ -240,8 +249,11 @@ object MergeApply {
       kind = if (isMor) graft.lake.FileEntry.Delta else graft.lake.FileEntry.Base))
     val observed = obs.get
     val obsRows = observed.get("rows").collect { case x: Long => x }.getOrElse(-1L)
-    val obsLive = Option(observed.getOrElse("live", null)).collect { case x: Long => x }.getOrElse(0L)
-    val obsNullText = Option(observed.getOrElse("null_text", null)).collect { case x: Long => x }.getOrElse(0L)
+    // -1 = metric unavailable (same sentinel as obsRows/BatchStats
+    // defaults) — 0 would be indistinguishable from "all tombstones" /
+    // "no nulls" in the metrics channel and trip false reconciliations
+    val obsLive = Option(observed.getOrElse("live", null)).collect { case x: Long => x }.getOrElse(-1L)
+    val obsNullText = Option(observed.getOrElse("null_text", null)).collect { case x: Long => x }.getOrElse(-1L)
 
     // 5. Atomic fenced commit. Copy-on-write REPLACES the touched buckets'
     //    files; merge-on-read replaces nothing (pure append). Per-file

@@ -67,7 +67,15 @@ object Retry {
             if attempt < policy.maxAttempts && !deterministic(e) =>
           System.err.println(s"[retry] $what attempt $attempt/${policy.maxAttempts} failed " +
             s"(${e.getClass.getSimpleName}: ${e.getMessage}) — retrying in $backoff ms")
-          Thread.sleep(backoff)
+          // the backoff sleep is itself interruptible: restore the flag
+          // here too, or a stop() landing mid-backoff escapes with the
+          // interrupt status cleared
+          try Thread.sleep(backoff)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw ie
+          }
           backoff = math.max(1L, (backoff * policy.backoffFactor).toLong)
           attempt += 1
       }

@@ -415,9 +415,15 @@ final class LakeTable(
         maxLsn = math.max(maxLsnSeen, cur.maxLsn),
         files = allFiles,
         writerId = if (epochId >= 0) writerId else cur.writerId,
-        inputEvents = inputEvents,
-        dedupedKeys = dedupedKeys,
-        mergeMs = mergeMs,
+        // Maintenance commits (epochId < 0: compaction, view refresh
+        // plumbing) carry the last EPOCH commit's batch stats forward,
+        // same as epochId/writerId above — overwriting them with the
+        // maintenance defaults (-1) would break the crash-window
+        // metrics replay, which re-derives a lost epoch's rows from
+        // exactly these fields (CdcStream observability path).
+        inputEvents = if (epochId >= 0) inputEvents else cur.inputEvents,
+        dedupedKeys = if (epochId >= 0) dedupedKeys else cur.dedupedKeys,
+        mergeMs = if (epochId >= 0) mergeMs else cur.mergeMs,
         writerEpochs =
           if (epochId >= 0)
             cur.writerEpochs.updated(writerId,

@@ -119,6 +119,11 @@ object StreamAnalytics {
       // Sum in EXACT BigDecimal space (order-independent), round once:
       // a double fold in buffer order vs the batch twin's shuffle-order
       // sum could land on opposite sides of a HALF_UP boundary.
+      // Residual caveat: the batch twin still sums DOUBLES, so a session
+      // whose accumulated double error itself crosses a 1e-4 HALF_UP
+      // boundary (needs ~1e-13-scale alignment) could differ from this
+      // exact sum by one rounding step — removing the order-dependence
+      // flake does not make double-vs-exact bit-identical in principle.
       val exact = s.foldLeft(BigDecimal(0))((acc, e) => acc + BigDecimal(e._2))
       Session(uid, s.head._1, s.last._1, s.size.toLong,
         exact.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)

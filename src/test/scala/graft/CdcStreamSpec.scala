@@ -170,6 +170,16 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(table.current.rows == table.read().count())
   }
 
+  test("observability readers are cold-start safe: empty channels, not exceptions") {
+    val base = tmp()
+    LakeTable.create(spark, s"$base/table", schemaVer = 1, numBuckets = 4)
+    // no epoch has applied → no _metrics/_qc/_lineage dirs exist yet
+    assert(CdcStream.metrics(spark, s"$base/table").count() == 0L)
+    assert(CdcStream.qc(spark, s"$base/table").count() == 0L)
+    assert(CdcStream.lineage(spark, s"$base/table").count() == 0L)
+    assert(CdcStream.metrics(spark, s"$base/table").columns.contains("events_per_sec"))
+  }
+
   test("A8 observe: merge metrics ride the write plan and match file stats") {
     val base = tmp()
     val cfg = GenConfig(numConvs = 20, maxTurns = 10, numEvents = 1200)
