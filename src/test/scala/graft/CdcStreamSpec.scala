@@ -170,6 +170,34 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(table.current.rows == table.read().count())
   }
 
+  test("lineage survives file-source log compaction: compact epochs list only their own files") {
+    val base = tmp()
+    val cfg = GenConfig(numConvs = 20, maxTurns = 10, numEvents = 1400)
+    writeEventFiles(cfg, s"$base/events", nFiles = 7)
+    val table = LakeTable.create(spark, s"$base/table", schemaVer = 1, numBuckets = 4)
+    // Interval 3 → batches 2 and 5 are written as `<id>.compact` files
+    // holding ALL entries so far; with the default 10 a short test never
+    // crosses a compaction boundary and the regression stays invisible.
+    val key = "spark.sql.streaming.fileSource.log.compactInterval"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "3")
+    try CdcStream.runAvailable(spark, table, s"$base/events", s"$base/cp",
+      StreamConfig(maxFilesPerTrigger = 1))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    assert(stateOf(table) == oracleOf(cfg))
+    val l = CdcStream.lineage(spark, table.root)
+    assert(l.select("source_file").distinct().count() == 7)
+    // one file per epoch everywhere — the compact epochs must list exactly
+    // their OWN file, neither zero (pre-fix: plain per-batch log file
+    // missing) nor the whole history (unfiltered compact read)
+    val perEpoch = l.groupBy("epoch_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perEpoch == (0L until 7L).map(_ -> 1L).toMap)
+  }
+
   test("observability readers are cold-start safe: empty channels, not exceptions") {
     val base = tmp()
     LakeTable.create(spark, s"$base/table", schemaVer = 1, numBuckets = 4)
