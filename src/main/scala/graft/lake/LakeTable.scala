@@ -445,7 +445,7 @@ final class LakeTable(
       // each next id, and one can lose every round.
       attempt += 1
       awaitCurrentAdvance(cur.id, writerId)
-      Thread.sleep(1 + java.util.concurrent.ThreadLocalRandom.current()
+      sleepInterruptibly(1 + java.util.concurrent.ThreadLocalRandom.current()
         .nextLong(4L << math.min(attempt, 7)))
     }
     throw new CommitConflictException(
@@ -527,7 +527,7 @@ final class LakeTable(
     val deadline = System.nanoTime() + claimWaitMs * 1000000L
     while (System.nanoTime() < deadline) {
       if (currentId > beyondId) return
-      Thread.sleep(25)
+      sleepInterruptibly(25)
     }
     throw new CommitConflictException(
       s"commit by writer '$writerId' at $root: snapshot ${beyondId + 1} is claimed but " +
@@ -557,6 +557,18 @@ final class LakeTable(
   def establishedWriter(cur: Snapshot, writerId: String): Boolean =
     cur.writerEpochs.contains(writerId) ||
       (cur.writerId == writerId && cur.epochId >= 0)
+
+  /** Sleep that propagates interrupts WITH the flag restored — a stream
+    * stop() landing mid-claim-wait must surface as an interrupt the caller
+    * can see (same hygiene as [[graft.cdc.Retry]]'s backoff sleep).
+    */
+  private def sleepInterruptibly(ms: Long): Unit =
+    try Thread.sleep(ms)
+    catch {
+      case ie: InterruptedException =>
+        Thread.currentThread().interrupt()
+        throw ie
+    }
 
   private def swapCurrent(id: Long): Unit = {
     val scheme = Option(rootPath.toUri.getScheme).getOrElse("file")
