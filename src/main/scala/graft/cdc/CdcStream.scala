@@ -92,9 +92,9 @@ object CdcStream {
         }
         Retry.run(cfg.retry, s"epoch $epochId observability") {
           if (stats.applied) {
-            emitMetrics(spark, table.root, stats)
-            emitQc(spark, table.root, stats)
-            emitLineage(spark, table.root, stats,
+            emitMetrics(spark, table.root, wid, stats)
+            emitQc(spark, table.root, wid, stats)
+            emitLineage(spark, table.root, wid, stats,
               sourceFilesOf(spark, checkpointDir, epochId))
           } else {
             // Crash-window replay: the epoch's commit already applied but
@@ -105,13 +105,24 @@ object CdcStream {
             // at-most-once. (QC is not replayed: its observed values rode
             // the lost write plan and are not recoverable from the
             // manifest; fabricating zeros would be worse than absence.)
-            val cur = table.current
-            if (cur.epochId == epochId && cur.writerId == wid && cur.inputEvents >= 0) {
+            // Maintenance commits CARRY the epoch's stats forward but have
+            // their own snapshot id and post-maintenance row count — walk
+            // back to the epoch commit itself, else a crash after a
+            // scheduled compaction would re-attribute the epoch's lineage
+            // to the compaction snapshot. An expired walk target means the
+            // true stats are gone: skip (absence beats wrong attribution).
+            var cur = table.current
+            var walkable = true
+            while (walkable && cur.maint && cur.parent >= 0)
+              try cur = table.snapshot(cur.parent)
+              catch { case scala.util.control.NonFatal(_) => walkable = false }
+            if (walkable && !cur.maint && cur.epochId == epochId &&
+              cur.writerId == wid && cur.inputEvents >= 0) {
               val replayStats = BatchStats(epochId, applied = true, cur.id,
                 cur.inputEvents, cur.dedupedKeys, 0, cur.schemaVer, cur.maxLsn,
                 cur.rows, cur.mergeMs)
-              emitMetrics(spark, table.root, replayStats)
-              emitLineage(spark, table.root, replayStats,
+              emitMetrics(spark, table.root, wid, replayStats)
+              emitLineage(spark, table.root, wid, replayStats,
                 sourceFilesOf(spark, checkpointDir, epochId))
             }
           }
@@ -161,7 +172,7 @@ object CdcStream {
   private def sourceFilesOf(spark: SparkSession, checkpointDir: String, epochId: Long): Seq[String] = {
     try {
       val dir = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/0")
-      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val fs = dir.getFileSystem(hadoopConf(spark))
       val plain = new org.apache.hadoop.fs.Path(dir, epochId.toString)
       val compacted = new org.apache.hadoop.fs.Path(dir, s"$epochId.compact")
       val (p, fromCompact) =
@@ -187,18 +198,23 @@ object CdcStream {
     } catch { case _: Exception => Nil }
   }
 
-  /** One metrics row per applied epoch, written OVERWRITE into a per-epoch
-    * directory — re-emission after a crash replaces rather than duplicates.
+  /** One metrics row per applied (writer, epoch), written OVERWRITE into a
+    * per-writer per-epoch directory — re-emission after a crash replaces
+    * rather than duplicates. The WRITER scoping is load-bearing: epochIds
+    * restart at 0 under a fresh checkpoint (a first-class hand-over the
+    * per-writer commit fence exists for), so an epoch-only key would let
+    * writer B's epoch 0 clobber writer A's epoch-0 observability rows.
     */
-  private def emitMetrics(spark: SparkSession, root: String, s: BatchStats): Unit = {
+  private def emitMetrics(spark: SparkSession, root: String, wid: String,
+      s: BatchStats): Unit = {
     import spark.implicits._
     val eps = if (s.durationMs > 0) s.inputEvents * 1000.0 / s.durationMs else 0.0
-    Seq((s.epochId, s.snapshotId, s.inputEvents, s.dedupedKeys, s.touchedBuckets,
+    Seq((wid, s.epochId, s.snapshotId, s.inputEvents, s.dedupedKeys, s.touchedBuckets,
       s.schemaVer, s.maxLsn, s.liveRows, s.durationMs, eps, s.observedRows, s.observedLive))
-      .toDF("epoch_id", "snapshot_id", "input_events", "deduped_keys", "touched_buckets",
-        "schema_ver", "max_lsn", "live_rows", "duration_ms", "events_per_sec",
-        "observed_rows", "observed_live")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/_metrics/e${s.epochId}")
+      .toDF("writer_id", "epoch_id", "snapshot_id", "input_events", "deduped_keys",
+        "touched_buckets", "schema_ver", "max_lsn", "live_rows", "duration_ms",
+        "events_per_sec", "observed_rows", "observed_live")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_metrics/$wid/e${s.epochId}")
   }
 
   /** S9 ▸ QC channel: per-epoch batch-quality metrics — tombstone count
@@ -208,14 +224,33 @@ object CdcStream {
     * emitted per applied epoch (reference: _load_qc_metrics study-level QC
     * rows, Scripts/python/enhanced_main_etl.py:998-1020).
     */
-  private def emitQc(spark: SparkSession, root: String, s: BatchStats): Unit = {
+  private def emitQc(spark: SparkSession, root: String, wid: String,
+      s: BatchStats): Unit = {
     import spark.implicits._
     val delRate = if (s.inputEvents > 0) s.qcDeletes.toDouble / s.inputEvents else 0.0
     val nullRate = if (s.observedLive > 0) s.qcNullText.toDouble / s.observedLive else 0.0
-    Seq((s.epochId, s.inputEvents, s.qcDeletes, s.qcNullText, delRate, nullRate))
-      .toDF("epoch_id", "input_events", "n_deletes", "n_null_text",
+    Seq((wid, s.epochId, s.inputEvents, s.qcDeletes, s.qcNullText, delRate, nullRate))
+      .toDF("writer_id", "epoch_id", "input_events", "n_deletes", "n_null_text",
         "delete_rate", "null_text_rate")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/_qc/e${s.epochId}")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_qc/$wid/e${s.epochId}")
+  }
+
+  /** Hadoop conf per session, weakly keyed: `sessionState.newHadoopConf()`
+    * deep-copies the whole SparkConf + Hadoop resource set (~100 ms,
+    * measured at LakeTable's per-commit listing) — per-epoch metadata
+    * probes must not pay that on the serial driver path every batch.
+    */
+  private val hadoopConfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, org.apache.hadoop.conf.Configuration]())
+
+  private def hadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration = {
+    val got = hadoopConfCache.get(spark)
+    if (got != null) got
+    else {
+      val c = spark.sessionState.newHadoopConf()
+      hadoopConfCache.put(spark, c)
+      c
+    }
   }
 
   /** Read back the QC table. */
@@ -226,18 +261,20 @@ object CdcStream {
     */
   private def channel(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val exists = try p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val exists = try p.getFileSystem(hadoopConf(spark)).exists(p)
       catch { case _: Exception => false }
     if (exists) spark.read.option("recursiveFileLookup", "true").schema(schema).parquet(dir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   private val qcSchema = StructType(Seq(
+    StructField("writer_id", StringType),
     StructField("epoch_id", LongType), StructField("input_events", LongType),
     StructField("n_deletes", LongType), StructField("n_null_text", LongType),
     StructField("delete_rate", DoubleType), StructField("null_text_rate", DoubleType)))
 
   private val metricsSchema = StructType(Seq(
+    StructField("writer_id", StringType),
     StructField("epoch_id", LongType), StructField("snapshot_id", LongType),
     StructField("input_events", LongType), StructField("deduped_keys", LongType),
     StructField("touched_buckets", IntegerType), StructField("schema_ver", IntegerType),
@@ -246,19 +283,20 @@ object CdcStream {
     StructField("observed_rows", LongType), StructField("observed_live", LongType)))
 
   private val lineageSchema = StructType(Seq(
+    StructField("writer_id", StringType),
     StructField("source_file", StringType), StructField("epoch_id", LongType),
     StructField("snapshot_id", LongType)))
 
   def qc(spark: SparkSession, tableRoot: String): DataFrame =
     channel(spark, s"$tableRoot/_qc", qcSchema)
 
-  private def emitLineage(spark: SparkSession, root: String, s: BatchStats,
-      sourceFiles: Seq[String]): Unit = {
+  private def emitLineage(spark: SparkSession, root: String, wid: String,
+      s: BatchStats, sourceFiles: Seq[String]): Unit = {
     import spark.implicits._
-    val rows = if (sourceFiles.isEmpty) Seq(("<none>", s.epochId, s.snapshotId))
-      else sourceFiles.map(f => (f, s.epochId, s.snapshotId))
-    rows.toDF("source_file", "epoch_id", "snapshot_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/_lineage/e${s.epochId}")
+    val rows = if (sourceFiles.isEmpty) Seq((wid, "<none>", s.epochId, s.snapshotId))
+      else sourceFiles.map(f => (wid, f, s.epochId, s.snapshotId))
+    rows.toDF("writer_id", "source_file", "epoch_id", "snapshot_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_lineage/$wid/e${s.epochId}")
   }
 
   /** Read back the metrics table (per-batch observability surface). */

@@ -247,7 +247,14 @@ object MergeApply {
         pmod(xxhash64(keyCols.map(col): _*), lit(salt)))
     val files = timed("merge-write")(table.writeDataFiles(salted, newVer,
       kind = if (isMor) graft.lake.FileEntry.Delta else graft.lake.FileEntry.Base))
-    val observed = obs.get
+    // Speculative execution can run TWO successful attempts of one write
+    // task, both feeding the CollectMetrics accumulators — the exact
+    // double-count hazard writeDataFiles skips its FileStatsAgg hint for
+    // (LakeTable.statsFromWrite). Inflated observed counts would trip the
+    // false reconciliations the -1 sentinel exists to avoid, so under
+    // speculation the plan-ride metrics are reported unavailable.
+    val speculative = spark.conf.get("spark.speculation", "false").toBoolean
+    val observed = if (speculative) Map.empty[String, Any] else obs.get
     val obsRows = observed.get("rows").collect { case x: Long => x }.getOrElse(-1L)
     // -1 = metric unavailable (same sentinel as obsRows/BatchStats
     // defaults) — 0 would be indistinguishable from "all tombstones" /

@@ -104,7 +104,13 @@ final case class Snapshot(
     writerEpochs: Map[String, Long] = Map.empty,
     batchHashes: Seq[Long] = Nil,
     touched: Option[Seq[Int]] = None,
-    groupRefs: Seq[GroupRef] = Nil)
+    groupRefs: Seq[GroupRef] = Nil,
+    // true ⟺ a maintenance commit (compaction, expiry plumbing): its
+    // epochId/writerId/batch stats are CARRIED FORWARD from the last epoch
+    // commit, not its own — readers re-deriving an epoch's stats (the
+    // crash-window metrics replay) must walk past maint snapshots to the
+    // epoch commit itself, or they attribute the wrong snapshot id/rows.
+    maint: Boolean = false)
 
 /** Reference to one bucket-group manifest file (sharded format): `g` is
   * the group index (`bucket / groupSize`), `path` the manifest's file name
@@ -216,7 +222,7 @@ final class LakeTable(
       val nm = if (i == 0) name else currentName()
       try return readManifest(fs, new Path(metaDir, nm))
       catch {
-        case e: java.io.FileNotFoundException => lastErr = e; Thread.sleep(10)
+        case e: java.io.FileNotFoundException => lastErr = e; sleepInterruptibly(10)
       }
       i += 1
     }
@@ -241,7 +247,7 @@ final class LakeTable(
     while (i < 5) {
       try return readString(fs, currentPtr).trim
       catch {
-        case e: java.io.FileNotFoundException => lastErr = e; Thread.sleep(10)
+        case e: java.io.FileNotFoundException => lastErr = e; sleepInterruptibly(10)
       }
       i += 1
     }
@@ -430,6 +436,7 @@ final class LakeTable(
               math.max(epochId, cur.writerEpochs.getOrElse(writerId, -1L)))
           else cur.writerEpochs,
         batchHashes = (cur.batchHashes ++ batchHash).takeRight(maxBatchHashes),
+        maint = epochId < 0,
         touched = Some((replacedBuckets ++ newFiles.map(_.bucket)).toSeq.distinct.sorted),
         groupRefs =
           if (!sharded(cur.numBuckets)) Nil
@@ -846,8 +853,11 @@ final class LakeTable(
         (foldDeltas && fs.exists(_.kind == FileEntry.Delta))
     }.keySet
     if (fat.isEmpty) return CommitResult(cur, applied = false)
+    // Bucket routing MUST be the merge path's definition — a drifted copy
+    // here would compact rows into different buckets than merges write.
     var df = readResolved(cur, Some(fat))
-      .withColumn("_bucket", pmod(xxhash64(col(keyCols.head)), lit(cur.numBuckets)).cast(IntegerType))
+      .withColumn("_bucket",
+        graft.cdc.MergeApply.bucketOf(col(keyCols.head), cur.numBuckets))
     if (dropTombstonesBelowLsn >= 0)
       df = df.filter(!col("_deleted") || col("_lsn") >= dropTombstonesBelowLsn)
     val files = writeDataFiles(df.repartition(math.max(1, fat.size), col("_bucket")), cur.schemaVer)
@@ -1065,7 +1075,7 @@ object LakeTable {
     s"""{"id":${s.id},"parent":${s.parent},"epochId":${s.epochId},"schemaVer":${s.schemaVer},""" +
       s""""numBuckets":${s.numBuckets},"rows":${s.rows},"maxLsn":${s.maxLsn},""" +
       s""""writer":"${esc(s.writerId)}","inputEvents":${s.inputEvents},""" +
-      s""""dedupedKeys":${s.dedupedKeys},"mergeMs":${s.mergeMs},""" +
+      s""""dedupedKeys":${s.dedupedKeys},"mergeMs":${s.mergeMs},"maint":${s.maint},""" +
       s"""$tb"writerEpochs":$we,"batchHashes":$bh,$tail}"""
   }
 
@@ -1100,7 +1110,10 @@ object LakeTable {
       inputEvents = optLong("inputEvents"), dedupedKeys = optLong("dedupedKeys"),
       mergeMs = optLong("mergeMs"),
       writerEpochs = writerEpochs, batchHashes = batchHashes, touched = touched,
-      groupRefs = groupRefs)
+      groupRefs = groupRefs,
+      // pre-field manifests: false (every commit then was written by a
+      // build where the replay guard tolerated the ambiguity)
+      maint = n.has("maint") && n.get("maint").asBoolean())
   }
 
   private def writeManifest(fs: FileSystem, p: Path, s: Snapshot): Unit =

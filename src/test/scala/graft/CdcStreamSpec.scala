@@ -142,8 +142,9 @@ class CdcStreamSpec extends AnyFunSuite {
     // with the metrics write lost: drop the last commit marker (stream will
     // replay the epoch) and the epoch's metrics directory
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    val wid = CdcStream.writerIdOf(s"$base/cp")
     assert(fs.delete(new org.apache.hadoop.fs.Path(s"$base/cp/commits/$lastEpoch"), false))
-    assert(fs.delete(new org.apache.hadoop.fs.Path(s"${table.root}/_metrics/e$lastEpoch"), true))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"${table.root}/_metrics/$wid/e$lastEpoch"), true))
     CdcStream.runAvailable(spark, table, s"$base/events", s"$base/cp",
       StreamConfig(maxFilesPerTrigger = 2))
     // commit was fenced (no double apply), but the metrics row came back
@@ -153,6 +154,53 @@ class CdcStreamSpec extends AnyFunSuite {
     val replayRow = m.filter(org.apache.spark.sql.functions.col("epoch_id") === lastEpoch).collect()
     assert(replayRow.length == 1)
     assert(replayRow(0).getAs[Long]("input_events") > 0)
+  }
+
+  test("crash window after a scheduled compaction: replay attributes the EPOCH snapshot, not the maintenance one") {
+    val base = tmp()
+    val cfg = GenConfig(numConvs = 15, maxTurns = 8, numEvents = 1200)
+    writeEventFiles(cfg, s"$base/events", nFiles = 4)
+    val table = LakeTable.create(spark, s"$base/table", schemaVer = 1, numBuckets = 4)
+    val sc = StreamConfig(maxFilesPerTrigger = 2,
+      strategy = graft.cdc.WriteStrategy.MergeOnRead, compactEveryEpochs = 2)
+    CdcStream.runAvailable(spark, table, s"$base/events", s"$base/cp", sc)
+    val lastEpoch = table.current.epochId
+    assert(table.current.maint, "schedule should leave a compaction commit on top")
+    import org.apache.spark.sql.functions.col
+    val before = CdcStream.metrics(spark, table.root)
+      .filter(col("epoch_id") === lastEpoch).collect()(0)
+    val wid = CdcStream.writerIdOf(s"$base/cp")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$base/cp/commits/$lastEpoch"), false))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"${table.root}/_metrics/$wid/e$lastEpoch"), true))
+    CdcStream.runAvailable(spark, table, s"$base/events", s"$base/cp", sc)
+    val after = CdcStream.metrics(spark, table.root)
+      .filter(col("epoch_id") === lastEpoch).collect()
+    assert(after.length == 1)
+    // the replayed row must point at the epoch's own commit snapshot — the
+    // compaction commit carries the epoch's stats forward but has its own
+    // id and post-fold row count
+    assert(after(0).getAs[Long]("snapshot_id") == before.getAs[Long]("snapshot_id"))
+    assert(after(0).getAs[Long]("input_events") == before.getAs[Long]("input_events"))
+  }
+
+  test("observability channels are writer-scoped: a fresh checkpoint's epoch 0 does not clobber the old writer's") {
+    val base = tmp()
+    val cfg = GenConfig(numConvs = 15, maxTurns = 8, numEvents = 1000)
+    writeEventFiles(cfg, s"$base/events", nFiles = 4)
+    val table = LakeTable.create(spark, s"$base/table", schemaVer = 1, numBuckets = 4)
+    CdcStream.runAvailable(spark, table, s"$base/events", s"$base/cpA",
+      StreamConfig(maxFilesPerTrigger = 2))
+    val rowsA = CdcStream.metrics(spark, table.root).count()
+    // hand-over: same events re-applied under a fresh checkpoint — its
+    // epochIds restart at 0 (row-level idempotent under LWW)
+    CdcStream.runAvailable(spark, table, s"$base/events", s"$base/cpB",
+      StreamConfig(maxFilesPerTrigger = 2))
+    val m = CdcStream.metrics(spark, table.root)
+    assert(m.select("writer_id").distinct().count() == 2)
+    assert(m.count() == 2 * rowsA, "writer B's epochs overwrote writer A's rows")
+    assert(CdcStream.lineage(spark, table.root)
+      .select("writer_id").distinct().count() == 2)
   }
 
   test("streamed merge-on-read with periodic delta folding equals oracle") {
