@@ -136,7 +136,13 @@ object IncrementalStats {
         cur.batchHashes.contains(batchHash)) return false
     val touched: Set[Int] = head.getAs[Seq[Int]]("touched").toSet
 
+    // Tombstone guard (same defense as MaterializedPairs.refreshIncremental):
+    // readConformed returns ALL stored versions including _deleted rows —
+    // the stats table only ever writes live CoW rows today, but a future
+    // maintenance path slipping a tombstone in would silently corrupt the
+    // additive sums forever.
     val current = table.readConformed(cur, Some(touched))
+      .filter(!col("_deleted"))
       .select(("group_key" +: statCols).map(col): _*)
     val merged = current.unionByName(delta.select(("group_key" +: statCols).map(col): _*))
       .groupBy(col("group_key"))
@@ -149,7 +155,12 @@ object IncrementalStats {
     val files = table.writeDataFiles(
       merged.repartition(math.max(1, touched.size), col("_bucket")), schemaVer = 1)
     val newLive = files.map(_.live).sum
-    val oldLive = cur.files.filter(f => touched.contains(f.bucket)).map(_.live).sum
+    // Unknown live stats (-1 from a foreign writer's footer) must not be
+    // summed into the delta — recount, same guard as MergeApply/Scd2History.
+    val replaced = cur.files.filter(f => touched.contains(f.bucket))
+    val oldLive =
+      if (replaced.forall(_.live >= 0)) replaced.map(_.live).sum
+      else table.readConformed(cur, Some(touched)).filter(!col("_deleted")).count()
     table.commit(files, touched, epochId, schemaVer = 1,
       rowDelta = newLive - oldLive, maxLsnSeen = epochId,
       writerId = writerId, batchHash = Some(batchHash),
@@ -162,15 +173,8 @@ object IncrementalStats {
     * driver oracle = full recompute in DuckDB).
     */
   def derive(state: DataFrame): DataFrame =
-    state.select(col("group_key").as("event_type"), col("k"),
-      round(col("st") / col("s1"), 6).as("pooled"),
-      round(col("st2") - col("st") * col("st") / col("s1"), 6).as("q_stat"),
-      round(greatest(lit(0.0),
-        (col("st2") - col("st") * col("st") / col("s1") - (col("k") - 1)) /
-          (col("s1") - col("s2") / col("s1"))), 6).as("tau2"),
-      round(greatest(lit(0.0),
-        (col("st2") - col("st") * col("st") / col("s1") - (col("k") - 1)) /
-          (col("st2") - col("st") * col("st") / col("s1"))) * 100, 6).as("i2"))
+    state.select(col("group_key").as("event_type") +: col("k") +:
+      graft.functions.StatFunctions.dlPooledCols: _*)
 
   /** Driver catalog entry: replay the events table as 4 delta batches into
     * a fresh stats table (addition commutes, so the pmod split needs no
@@ -193,17 +197,14 @@ object IncrementalStats {
       }
       derive(table.read()).orderBy("event_type")
     },
-    Some("""WITH s AS (
+    Some(s"""WITH s AS (
               SELECT event_type, count(*) AS k,
                      sum(w) AS s1, sum(w*w) AS s2,
                      sum(w*value) AS st, sum(w*value*value) AS st2
               FROM (SELECT event_type, value, 1.0/(1.0+value*value) AS w FROM events)
               GROUP BY event_type)
             SELECT event_type, k,
-                   round(st/s1, 6) AS pooled,
-                   round(st2 - st*st/s1, 6) AS q_stat,
-                   round(greatest(0.0, (st2 - st*st/s1 - (k-1)) / (s1 - s2/s1)), 6) AS tau2,
-                   round(greatest(0.0, (st2 - st*st/s1 - (k-1)) / (st2 - st*st/s1)) * 100, 6) AS i2
+                   ${graft.functions.StatFunctions.dlPooledSql}
             FROM s ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(t5)

@@ -248,28 +248,18 @@ object RelationalQueries {
           sum(col("w") * col("w")).as("s2"),
           sum(col("w") * col("value")).as("st"),
           sum(col("w") * col("value") * col("value")).as("st2"))
-        .select(col("event_type"), col("k"),
-          round(col("st") / col("s1"), 6).as("pooled"),
-          round(col("st2") - col("st") * col("st") / col("s1"), 6).as("q_stat"),
-          round(greatest(lit(0.0),
-            (col("st2") - col("st") * col("st") / col("s1") - (col("k") - 1)) /
-              (col("s1") - col("s2") / col("s1"))), 6).as("tau2"),
-          round(greatest(lit(0.0),
-            (col("st2") - col("st") * col("st") / col("s1") - (col("k") - 1)) /
-              (col("st2") - col("st") * col("st") / col("s1"))) * 100, 6).as("i2"))
+        .select(col("event_type") +: col("k") +:
+          graft.functions.StatFunctions.dlPooledCols: _*)
         .orderBy("event_type")
     },
-    Some("""WITH s AS (
+    Some(s"""WITH s AS (
               SELECT event_type, count(*) AS k,
                      sum(w) AS s1, sum(w*w) AS s2,
                      sum(w*value) AS st, sum(w*value*value) AS st2
               FROM (SELECT event_type, value, 1.0/(1.0+value*value) AS w FROM events)
               GROUP BY event_type)
             SELECT event_type, k,
-                   round(st/s1, 6) AS pooled,
-                   round(st2 - st*st/s1, 6) AS q_stat,
-                   round(greatest(0.0, (st2 - st*st/s1 - (k-1)) / (s1 - s2/s1)), 6) AS tau2,
-                   round(greatest(0.0, (st2 - st*st/s1 - (k-1)) / (st2 - st*st/s1)) * 100, 6) AS i2
+                   ${graft.functions.StatFunctions.dlPooledSql}
             FROM s ORDER BY event_type"""))
 
   // ---------- join family ----------

@@ -51,4 +51,30 @@ object StatFunctions {
   def phiSql(z: String): String = s"(0.5 * (1.0 + ${erfSql(s"($z / sqrt(2.0))")}))"
 
   def pValueSql(z: String): String = s"(2.0 * (1.0 - ${phiSql(s"abs($z)")}))"
+
+  /** DerSimonian–Laird pooled-meta columns over sufficient statistics
+    * (k, s1=Σw, s2=Σw², st=Σwθ, st2=Σwθ²): pooled effect, Cochran Q,
+    * τ² (DL), I² — each rounded to 6 (reference: pooled-view math,
+    * Docs/etl_requirements_reviewed_by_sr.md:608-621). ONE definition,
+    * shared by the one-shot aggregate (a9) and the incremental-state
+    * derive (t5): incremental-equals-one-shot is a spec'd invariant
+    * (IncrementalStatsSpec), so the closed form must not exist twice —
+    * a fix applied to one copy would silently break the other's parity.
+    */
+  def dlPooledCols: Seq[Column] = {
+    val q = col("st2") - col("st") * col("st") / col("s1")
+    Seq(
+      round(col("st") / col("s1"), 6).as("pooled"),
+      round(q, 6).as("q_stat"),
+      round(greatest(lit(0.0),
+        (q - (col("k") - 1)) / (col("s1") - col("s2") / col("s1"))), 6).as("tau2"),
+      round(greatest(lit(0.0), (q - (col("k") - 1)) / q) * 100, 6).as("i2"))
+  }
+
+  /** The same DL select list as DuckDB SQL (k, s1, s2, st, st2 in scope). */
+  val dlPooledSql: String =
+    """round(st/s1, 6) AS pooled,
+                   round(st2 - st*st/s1, 6) AS q_stat,
+                   round(greatest(0.0, (st2 - st*st/s1 - (k-1)) / (s1 - s2/s1)), 6) AS tau2,
+                   round(greatest(0.0, (st2 - st*st/s1 - (k-1)) / (st2 - st*st/s1)) * 100, 6) AS i2"""
 }

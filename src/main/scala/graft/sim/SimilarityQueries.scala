@@ -44,10 +44,16 @@ object SimilarityQueries {
   private[sim] val sim1 = Q("sim1_cosine_topk",
     (spark, dir) => {
       val e = emb(spark, dir)
-      val q = e.filter(col("vec_id") < 30).select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      // Norms are computed ONCE PER VECTOR before the cross join — per
+      // candidate-pair recomputation would pay two extra 64-multiply
+      // aggregates on every one of the 30×N pair rows (the DuckDB twin
+      // precomputes nrm per vec_id for the same reason). Same doubles:
+      // identical expression over the identical array.
+      val q = e.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), normD("embedding").as("qn"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"), normD("embedding").as("nn"))
       val sims = q.crossJoin(c).filter(col("qid") =!= col("nid"))
-        .withColumn("sim", round(dotD("qv", "nv") / (normD("qv") * normD("nv")), 4))
+        .withColumn("sim", round(dotD("qv", "nv") / (col("qn") * col("nn")), 4))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
       sims.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
@@ -116,13 +122,20 @@ object SimilarityQueries {
     * ones ([[planesSha]]) so an external oracle can replay the bucketing.
     */
   def withLshBands(df: DataFrame, embCol: String, nPlanes: Int, bandBits: Int,
-      reproducible: Boolean = false): DataFrame = {
-    val dim = 64 // embeddings table vector width
+      reproducible: Boolean = false, dim: Int = 64): DataFrame = {
     val pl = typedlit(if (reproducible) planesSha(nPlanes, dim) else planes(nPlanes, dim))
     val bands = nPlanes / bandBits
+    // The width check FAILS LOUD per row: a vector of any other width
+    // would zip_with against null-padded planes, null the dot product,
+    // and silently hand every row the all-zero signature — one hot
+    // bucket holding the whole corpus, which the hot-bucket guard then
+    // silently drops. Wrong-dim input is caller error, not data.
     df.withColumn("_planes", pl)
       .withColumn("sig", expr(
-        s"transform(_planes, pl -> CASE WHEN aggregate(zip_with($embCol, pl, " +
+        s"transform(_planes, pl -> CASE WHEN size($embCol) <> $dim THEN " +
+          s"CAST(raise_error(concat('withLshBands: expected $dim-dim ', " +
+          s"'embedding in $embCol, got ', CAST(size($embCol) AS STRING))) AS INT) " +
+          s"WHEN aggregate(zip_with($embCol, pl, " +
           "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END)"))
       .withColumn("bands", expr(
         s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
@@ -149,23 +162,37 @@ object SimilarityQueries {
   private[sim] val sim2 = Q("sim2_lsh_ann",
     (spark, dir) => {
       val bandBits = 4
-      val e = withLshBands(emb(spark, dir), "embedding", nPlanes = 16, bandBits = bandBits,
+      val base = emb(spark, dir)
+      // The (band,bucket) exchange, probe explosion, and candidate dedup
+      // carry BARE IDS ONLY — the 64-float payloads join back after the
+      // distinct (the same discipline d2/d5 apply at their candidate
+      // sites; a probe fan-out of 5 × 4 bands can re-derive one (qid,nid)
+      // pair up to 20 times, and deduping struct-of-array rows would
+      // shuffle and compare vector payloads 20× over).
+      val e = withLshBands(base, "embedding", nPlanes = 16, bandBits = bandBits,
         reproducible = true)
-        .select(col("vec_id"), col("embedding"), explode(col("bands")).as("bb"))
-        .select(col("vec_id"), col("embedding"),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        .select(col("vec_id"), explode(col("bands")).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       // 1-bit-flip probe set: the bucket itself + bandBits neighbors.
       val probes = (0 until bandBits).map(b => col("bucket").bitwiseXOR(lit(1 << b))) :+ col("bucket")
       val q = e.filter(col("vec_id") < 30)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("band"),
+        .select(col("vec_id").as("qid"), col("band"),
           explode(array(probes: _*)).as("bucket"))
-      val cands = q.join(
-        e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("band"), col("bucket")),
+      val candIds = q.join(
+        e.select(col("vec_id").as("nid"), col("band"), col("bucket")),
         Seq("band", "bucket"))
         .filter(col("qid") =!= col("nid"))
-        .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+        .select(col("qid"), col("nid")).distinct()
+      // Vector + once-per-vector norm join back (norms per pair would pay
+      // two extra 64-multiply aggregates on every candidate row).
+      val vecs = base.select(col("vec_id"), col("embedding"), normD("embedding").as("nrm"))
+      val cands = candIds
+        .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qn")), "qid")
+        .join(vecs.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+          col("nrm").as("nn")), "nid")
       val sims = cands
-        .withColumn("sim", round(dotD("qv", "nv") / (normD("qv") * normD("nv")), 4))
+        .withColumn("sim", round(dotD("qv", "nv") / (col("qn") * col("nn")), 4))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
       sims.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
@@ -470,10 +497,16 @@ object SimilarityQueries {
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"))
       .distinct()
+    // once-per-vector norms ride the join-back (two extra 64-multiply
+    // aggregates per verified pair otherwise)
+    val vecs = corpus.select(col("vec_id"), col("embedding"),
+      normD("embedding").as("nrm"))
     cand
-      .join(corpus.select(col("vec_id").as("keep_id"), col("embedding").as("v1")), "keep_id")
-      .join(corpus.select(col("vec_id").as("dup_id"), col("embedding").as("v2")), "dup_id")
-      .withColumn("sim", round(dotD("v1", "v2") / (normD("v1") * normD("v2")), 4))
+      .join(vecs.select(col("vec_id").as("keep_id"), col("embedding").as("v1"),
+        col("nrm").as("n1")), "keep_id")
+      .join(vecs.select(col("vec_id").as("dup_id"), col("embedding").as("v2"),
+        col("nrm").as("n2")), "dup_id")
+      .withColumn("sim", round(dotD("v1", "v2") / (col("n1") * col("n2")), 4))
       .filter(col("sim") >= minCosine)
       .select(col("keep_id"), col("dup_id"), col("sim"))
       .orderBy("keep_id", "dup_id")
@@ -567,23 +600,31 @@ object SimilarityQueries {
     */
   private[sim] val sim3 = Q("sim3_ivf_ann",
     (spark, dir) => {
-      val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+      // One norm per vector, computed at the scan and carried through —
+      // recomputing it per (vector, centroid) row of the K-way broadcast
+      // expansion (and again per candidate pair in the rerank) would run
+      // the 64-multiply aggregate K+probe times per vector instead of once
+      // (the DuckDB twin's nrm CTE is this same factoring).
+      val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+        normD("embedding").as("nrm"))
       val cents = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
       val ranked = e.crossJoin(broadcast(cents))
         .withColumn("csim",
-          round(dotD("embedding", "cv") / (normD("embedding") * normD("cv")), 4))
+          round(dotD("embedding", "cv") / (col("nrm") * col("cn")), 4))
         .withColumn("crn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)))
       val assign = ranked.filter(col("crn") === 1)
-        .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cid"))
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+          col("nrm").as("nn"), col("cid"))
       val probes = ranked.filter(col("vec_id") < 30 && col("crn") <= 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("cid"))
       // Each vector lives in exactly one cell and a query's probe cells are
       // distinct, so (qid, nid) pairs are already unique — no distinct.
       val cand = probes.join(assign, "cid").filter(col("qid") =!= col("nid"))
       val sims = cand
-        .withColumn("sim", round(dotD("qv", "nv") / (normD("qv") * normD("nv")), 4))
+        .withColumn("sim", round(dotD("qv", "nv") / (col("qn") * col("nn")), 4))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
       sims.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)

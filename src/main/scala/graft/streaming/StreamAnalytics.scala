@@ -105,17 +105,22 @@ object StreamAnalytics {
   private def micros(ts: Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
-  /** Split a sorted event buffer into sessions at gaps > gapUs. */
-  private[graft] def splitSessions(uid: Long, sorted: List[(Long, Double)],
-      gapUs: Long): List[Session] = {
-    if (sorted.isEmpty) return Nil
-    val groups = sorted.tail.foldLeft(List(List(sorted.head))) {
+  /** Split a sorted event buffer into gap-separated groups (> gapUs apart);
+    * groups ascend and each group's events ascend.
+    */
+  private[graft] def splitGroups(sorted: List[(Long, Double)],
+      gapUs: Long): List[List[(Long, Double)]] =
+    if (sorted.isEmpty) Nil
+    else sorted.tail.foldLeft(List(List(sorted.head))) {
       case (acc @ (cur :: rest), e) =>
         if (e._1 - cur.head._1 > gapUs) List(e) :: acc else (e :: cur) :: rest
       case (Nil, e) => List(List(e))
-    }
-    groups.reverse.map { g =>
-      val s = g.reverse
+    }.reverse.map(_.reverse)
+
+  /** Split a sorted event buffer into sessions at gaps > gapUs. */
+  private[graft] def splitSessions(uid: Long, sorted: List[(Long, Double)],
+      gapUs: Long): List[Session] =
+    splitGroups(sorted, gapUs).map { s =>
       // Sum in EXACT BigDecimal space (order-independent), round once:
       // a double fold in buffer order vs the batch twin's shuffle-order
       // sum could land on opposite sides of a HALF_UP boundary.
@@ -128,7 +133,6 @@ object StreamAnalytics {
       Session(uid, s.head._1, s.last._1, s.size.toLong,
         exact.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-  }
 
   /** Stateful gap sessionization: buffer the open session per user, close
     * it when the event-time watermark passes last-event + gap.
@@ -156,19 +160,33 @@ object StreamAnalytics {
             state.remove()
             splitSessions(uid, buf, gapUs).iterator
           } else {
-            val merged = state.getOption.map(_.events).getOrElse(Nil) ++
-              it.map(e => (micros(e.ts), e.value))
-            state.update(OpenBuffer(merged))
-            // CEIL micros→millis: flooring could fire the timeout up to
-            // ~1 ms before last+gap, splitting a session whose next event
-            // sits exactly on the gap boundary.
-            val lastMs = (merged.iterator.map(_._1).max + 999L) / 1000L
-            // The timeout must sit strictly above the current watermark;
-            // if the watermark already passed last+gap (possible when
-            // gap < watermark delay), close on the next trigger instead.
-            state.setTimeoutTimestamp(
-              math.max(lastMs + gapSec * 1000L, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            val merged = (state.getOption.map(_.events).getOrElse(Nil) ++
+              it.map(e => (micros(e.ts), e.value))).sortBy(_._1)
+            // Watermark-closed groups are emitted NOW, from the data
+            // branch: EventTimeTimeout fires only for keys with NO data in
+            // a batch, so a continuously-active key would otherwise hold
+            // every past session in its buffer forever — state growth
+            // O(stream length) and closed sessions withheld until the key
+            // goes quiet. A group whose last event + gap is strictly below
+            // the watermark can never gain another event (survivors have
+            // ts ≥ watermark), so it is final; only the open tail stays.
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (closed, open) = splitGroups(merged, gapUs)
+              .partition(g => g.last._1 + gapUs < wmUs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(OpenBuffer(open.flatten))
+              // CEIL micros→millis: flooring could fire the timeout up to
+              // ~1 ms before last+gap, splitting a session whose next event
+              // sits exactly on the gap boundary.
+              val lastMs = (open.last.last._1 + 999L) / 1000L
+              // The timeout must sit strictly above the current watermark;
+              // if the watermark already passed last+gap (possible when
+              // gap < watermark delay), close on the next trigger instead.
+              state.setTimeoutTimestamp(
+                math.max(lastMs + gapSec * 1000L, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.flatMap(g => splitSessions(uid, g, gapUs)).iterator
           }
       }
   }

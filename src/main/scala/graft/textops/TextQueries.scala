@@ -103,7 +103,7 @@ object TextQueries {
                    round(shared * 1.0 / (s1.sz + s2.sz - shared), 6) AS jaccard
             FROM shared JOIN sizes s1 ON s1.doc_id = d1
                         JOIN sizes s2 ON s2.doc_id = d2
-            WHERE shared * 1.0 / (s1.sz + s2.sz - shared) >= 0.5
+            WHERE round(shared * 1.0 / (s1.sz + s2.sz - shared), 6) >= 0.5
             ORDER BY d1, d2"""))
 
   /** T-LANG ▸ marker-word language ID: count language-specific stopword

@@ -101,6 +101,14 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+      // Early emission: user 1 has data in EVERY batch, so the timeout path
+      // never fires for it — its first session (closed by the watermark
+      // after b2: 00:28 > 00:08 + gap) must be emitted from the DATA branch
+      // by b3, not parked until the key goes quiet (state-growth regression
+      // guard: a continuously-active key must still flush closed sessions).
+      assert(spark.table("sessions").as[Session].collect()
+        .exists(s => s.user_id == 1L && s.sess_end_us == us("2024-01-01T00:08:00Z")),
+        "closed session not emitted while its key stayed active")
       // sentinel batches advance the watermark far past last + gap so every
       // real session times out and flushes
       input.addData(Seq(e(999, "2024-01-01T05:00:00Z", 0.0)))
