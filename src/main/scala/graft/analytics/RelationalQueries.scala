@@ -432,7 +432,8 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
     Some("""SELECT l_orderkey, l_linenumber, l_discount, l_tax,
-            l_discount > 0.05 AS bad_disc, l_tax > 0.05 AS bad_tax
+            coalesce(l_discount > 0.05, false) AS bad_disc,
+            coalesce(l_tax > 0.05, false) AS bad_tax
             FROM lineitem WHERE l_discount > 0.05 OR l_tax > 0.05
             ORDER BY l_orderkey, l_linenumber"""))
 

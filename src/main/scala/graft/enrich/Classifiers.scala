@@ -44,9 +44,12 @@ object Classifiers {
     val overrideLabel = overrides.foldLeft(lit(null).cast("string")) {
       case (acc, (k, v)) => when(keyCol === k, lit(v)).otherwise(acc)
     }
-    val lowered = lower(textCol)
+    // Case-insensitivity via the (?i) embedded flag, NEVER by lowercasing
+    // the pattern: lower() on a regex corrupts uppercase metacharacters —
+    // \S (non-space) silently inverts to \s, \B to \b, and \p{Upper}
+    // becomes the invalid \p{upper}, a runtime PatternSyntaxException.
     val ruleLabel = rules.sortBy(_.priority).foldRight(lit(null).cast("string")) {
-      case (r, acc) => when(lowered.rlike(r.pattern.toLowerCase), lit(r.label)).otherwise(acc)
+      case (r, acc) => when(textCol.rlike("(?i)" + r.pattern), lit(r.label)).otherwise(acc)
     }
     val label = coalesce(overrideLabel, ruleLabel, lit(default))
     val method = when(overrideLabel.isNotNull, lit("override"))
@@ -77,7 +80,9 @@ object Classifiers {
 
   def manufacturer(platformCol: Column, lookup: Seq[(String, String)]): Column =
     lookup.foldRight(lit("Unknown")) { case ((k, v), acc) =>
-      when(lower(platformCol).contains(k), lit(v)).otherwise(acc)
+      // lowercase BOTH sides — a mixed-case config key could otherwise
+      // never match the lowered column and silently yield 'Unknown'
+      when(lower(platformCol).contains(k.toLowerCase), lit(v)).otherwise(acc)
     }
 
   /** [[classify]] driven entirely by a parsed rule config — the

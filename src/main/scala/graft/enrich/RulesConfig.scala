@@ -80,13 +80,30 @@ object RulesConfig {
   lazy val default: Rules = parse(defaultJson)
 
   def parse(json: String): Rules = {
-    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
     val n = new ObjectMapper().readTree(json)
+    // Config errors must name the offending field, not surface as a bare
+    // NPE three frames deep; and JSON null must mean ABSENT for optional
+    // fields ("min": null is a user spelling "no lower bound" — NullNode
+    // .asDouble() would silently read it as 0.0 and flag every negative).
+    def req(node: JsonNode, field: String, ctx: String): JsonNode = {
+      val f = node.get(field)
+      if (f == null || f.isNull)
+        throw new IllegalArgumentException(
+          s"rules config: required field '$field' missing or null in $ctx")
+      f
+    }
+    def optDouble(node: JsonNode, field: String): Option[Double] = {
+      val f = node.get(field)
+      if (f == null || f.isNull) None else Some(f.asDouble())
+    }
     val rules =
       if (!n.has("illness_rules")) Nil
       else (0 until n.get("illness_rules").size()).map { i =>
         val r = n.get("illness_rules").get(i)
-        RegexRule(r.get("priority").asInt(), r.get("pattern").asText(), r.get("label").asText())
+        RegexRule(req(r, "priority", s"illness_rules[$i]").asInt(),
+          req(r, "pattern", s"illness_rules[$i]").asText(),
+          req(r, "label", s"illness_rules[$i]").asText())
       }
     val overrides: Map[String, String] =
       if (!n.has("overrides")) Map.empty
@@ -94,7 +111,10 @@ object RulesConfig {
         val o = n.get("overrides")
         val it = o.fieldNames()
         val b = Map.newBuilder[String, String]
-        while (it.hasNext) { val k = it.next(); b += k -> o.get(k).asText() }
+        while (it.hasNext) {
+          val k = it.next()
+          b += k -> req(o, k, s"overrides['$k']").asText()
+        }
         b.result()
       }
     val defaultLabel = if (n.has("default_label")) n.get("default_label").asText() else "UNKNOWN"
@@ -102,16 +122,16 @@ object RulesConfig {
       if (!n.has("manufacturers")) Nil
       else (0 until n.get("manufacturers").size()).map { i =>
         val m = n.get("manufacturers").get(i)
-        m.get("match").asText() -> m.get("name").asText()
+        req(m, "match", s"manufacturers[$i]").asText() ->
+          req(m, "name", s"manufacturers[$i]").asText()
       }
     val validation: Seq[RangeRule] =
       if (!n.has("validation")) Nil
       else (0 until n.get("validation").size()).map { i =>
         val v = n.get("validation").get(i)
-        RangeRule(v.get("column").asText(),
-          if (v.has("min")) Some(v.get("min").asDouble()) else None,
-          if (v.has("max")) Some(v.get("max").asDouble()) else None,
-          v.get("flag").asText())
+        RangeRule(req(v, "column", s"validation[$i]").asText(),
+          optDouble(v, "min"), optDouble(v, "max"),
+          req(v, "flag", s"validation[$i]").asText())
       }
     val retry =
       if (!n.has("retry")) RetryPolicy.default

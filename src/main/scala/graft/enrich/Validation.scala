@@ -30,7 +30,11 @@ object Validation {
     rules.map { r =>
       val c = col(r.column)
       val checks = r.min.map(m => c < lit(m)).toSeq ++ r.max.map(m => c > lit(m))
-      r.flag -> checks.reduceOption(_ || _).getOrElse(lit(false))
+      // coalesce to an EXPLICIT false on null input: a null comparison
+      // yields null, filter(null) silently passes the row as valid, and a
+      // three-valued flag column leaks downstream — a null value is "no
+      // violation detected", stated as false, not as unknown
+      r.flag -> coalesce(checks.reduceOption(_ || _).getOrElse(lit(false)), lit(false))
     }
 
   /** True when any rule is violated — the quarantine/filter predicate. */

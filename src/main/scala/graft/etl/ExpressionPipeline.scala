@@ -26,13 +26,26 @@ object ExpressionPipeline {
     * Scripts/python/enhanced_main_etl.py:375-410). Header-driven schema,
     * UTF-8 fixed (reference S3 encoding detection collapses to utf-8).
     */
-  def readMatrix(spark: SparkSession, tsvPath: String): DataFrame =
+  def readMatrix(spark: SparkSession, tsvPath: String): DataFrame = {
+    // EXPLICIT header-driven schema (Gene string, every sample double):
+    // inferSchema would (a) run a second full pass over the matrix only to
+    // guess types and (b) let one stray non-numeric sentinel ('NA', '')
+    // flip an entire sample column to string, silently nulling downstream
+    // `> 0` / log2 arithmetic instead of quarantining the bad rows.
+    // Reading the header costs one single-line job, not a corpus scan.
+    import org.apache.spark.sql.types._
+    val header = spark.read.text(tsvPath).head().getString(0)
+    val fields = header.split("\t", -1).map { c =>
+      if (c == "Gene") StructField("Gene", StringType) else StructField(c, DoubleType)
+    }
     spark.read
       .option("sep", "\t")
       .option("header", "true")
-      .option("inferSchema", "true")
       .option("encoding", "UTF-8")
+      .option("mode", "PERMISSIVE") // malformed numeric → null → quarantine
+      .schema(StructType(fields))
       .csv(tsvPath)
+  }
 
   /** P1+P2 ▸ melt wide → long and annotate constants (reference:
     * pd.melt + rename, Scripts/python/enhanced_main_etl.py:394-406).
@@ -78,17 +91,30 @@ object ExpressionPipeline {
     * dropna(subset=['sample_key']), Scripts/python/enhanced_main_etl.py:963-971).
     */
   def resolveFacts(longRows: DataFrame, sampleDim: DataFrame): (DataFrame, DataFrame) = {
+    val flagged = resolveFactsFlagged(longRows, sampleDim)
+    (flagged.filter(!col("_quarantined")).drop("_quarantined"),
+      flagged.filter(col("_quarantined"))
+        .drop("_quarantined", "gene_key", "expression_log2_value"))
+  }
+
+  /** Single-pass form of [[resolveFacts]]: one DataFrame carrying a
+    * `_quarantined` flag. A caller that consumes BOTH sides of the pair
+    * independently re-executes the scan + join once per side (the plans
+    * share no physical stage without caching — at the stated 100 TB that
+    * is double I/O); writing this flagged frame once, e.g. with
+    * `partitionBy("_quarantined")`, routes facts and quarantine to their
+    * channels in a single pass.
+    */
+  def resolveFactsFlagged(longRows: DataFrame, sampleDim: DataFrame): DataFrame = {
     val dim = sampleDim.select(
       col("sample_accession_code"),
       xxhash64(col("sample_accession_code")).as("sample_key"),
       col("illness_label"))
-    val joined = longRows.join(broadcast(dim), Seq("sample_accession_code"), "left")
-    val quarantine = joined.filter(col("sample_key").isNull)
-    val facts = joined.filter(col("sample_key").isNotNull)
+    longRows.join(broadcast(dim), Seq("sample_accession_code"), "left")
+      .withColumn("_quarantined", col("sample_key").isNull)
       .withColumn("gene_key", xxhash64(col("gene_id")))
       .withColumn("expression_log2_value",
         when(col("expression_value") > 0, log(2.0, col("expression_value"))))
-    (facts, quarantine)
   }
 
   /** M5/J5 ▸ idempotent append: anti-join away rows whose
@@ -98,6 +124,12 @@ object ExpressionPipeline {
     */
   def idempotentAppend(target: DataFrame, incoming: DataFrame): DataFrame = {
     val keys = Seq("file_hash", "gene_id", "sample_accession_code")
-    incoming.join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    // In-batch dedup FIRST: the anti-join only removes keys already in the
+    // target — a key repeated inside one batch (a duplicated gene row in a
+    // real matrix, a file listed twice) is new to the target and every
+    // copy would append. The staging PK this replaces rejects the second
+    // insert; first-row-wins matches it.
+    incoming.dropDuplicates(keys)
+      .join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
   }
 }

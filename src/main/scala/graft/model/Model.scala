@@ -84,7 +84,18 @@ object Model {
     2 -> transcriptSchemaV2,
     3 -> transcriptSchemaV3)
 
-  /** Change-event wire schema (the file-stream source schema). */
+  /** Change-event wire schema (the file-stream source schema).
+    *
+    * `turn_idx` is int32 HERE by design, not oversight: this is the
+    * envelope old producers keep emitting after the v3 table widening —
+    * exactly the binlog reality the widening exists for (narrow writers,
+    * wide storage). A v3-native producer would ship a wide envelope and
+    * its batches conform up the same per-batch registry path; the int64
+    * evolution is therefore exercised storage-side (MergeApplySpec v3
+    * widening), while the wire stays the lowest common width. int32 turns
+    * bound one conversation at 2^31 turns — not a 10^10-EVENT limit
+    * (events are unbounded; turn_idx is a per-conversation position).
+    */
   val changeEventSchema: StructType = StructType(Seq(
     StructField("lsn", LongType, nullable = false),
     StructField("op", StringType, nullable = false),

@@ -96,9 +96,16 @@ object BinaryPipeline {
         case x: Long => x
         case x: java.math.BigDecimal => x.longValue()
       }
-    val parts = math.max(1, math.min(
-      (totalBytes / math.max(1L, targetBytesPerPartition)).toInt + 1,
-      spark.sparkContext.defaultParallelism * 4))
+    // NO parallelism-based cap: the byte budget exists precisely to bound
+    // the decoded payload held by one task — capping partitions at
+    // cores×N hands a big corpus on a small cluster arbitrarily oversized
+    // partitions, the exact OOM this knob prevents. Excess partitions
+    // merely queue (cheap); oversized ones kill executors. The quotient is
+    // clamped in LONG space (an Int overflow near the stat guard would
+    // wrap to a tiny — even single — partition count).
+    val parts = math.max(1L, math.min(
+      totalBytes / math.max(1L, targetBytesPerPartition) + 1L,
+      Int.MaxValue.toLong)).toInt
     withBytes
       .repartition(parts, col("media_id"))
       .select(col("media_id"), col("kind"), col("payload"), col("n_bytes"), col("digest"))

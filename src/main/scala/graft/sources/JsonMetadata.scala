@@ -162,11 +162,22 @@ object JsonMetadata {
     sb.toString
   }
 
-  /** Write the fixture document (plain file write — it is ONE json doc). */
+  /** Write the fixture document. Content-skip + atomic move, NOT a plain
+    * truncating write: the path is shared (the DuckDB oracle reads the
+    * same file, possibly from another process), and Files.write truncates
+    * before writing — a reader landing in that window parses cut-off JSON
+    * into a null doc and silently returns 0 rows.
+    */
   def writeFixture(path: String, json: String): Unit = {
     val p = Paths.get(path)
     Files.createDirectories(p.getParent)
-    Files.write(p, json.getBytes(StandardCharsets.UTF_8))
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    if (Files.exists(p) && java.util.Arrays.equals(Files.readAllBytes(p), bytes)) return
+    val tmp = p.resolveSibling(
+      s"${p.getFileName}.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
