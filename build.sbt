@@ -31,12 +31,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Seq())
-// Bench/run JVMs pre-touch a large fixed initial heap: lazily faulting heap
-// pages across 32 task threads contends in the kernel on this virtualized
-// host (measured 3.5x merge-stage slowdown without it). Tests keep a small
-// -Xms so suites start fast and run on modest hosts.
-run / javaOptions ++= Seq(
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "16g")}",
-  "-XX:+AlwaysPreTouch",
-)
+// Bench/run JVMs use a FIXED, fully pre-touched heap (-Xms == -Xmx, last
+// flag wins over the ceiling above): growing the heap lazily past -Xms
+// faults fresh pages from 32 task threads and the virtualized kernel
+// serializes them — an identical 12M-row generation job measured 190 s
+// with a 16g->48g growing heap (2m47 user / 67m46 SYS, a page-fault
+// storm) vs 12 s with the heap pinned at 16g. The pin must stay ≤16g:
+// touching past ~16g storms even at START (a trivial 24g-pinned run
+// measured 72 s wall / 17m21 SYS against 19 s / 31 s at 16g — the
+// sandbox provisions pages above that watermark at hypervisor speed).
+// Tests keep a small -Xms so suites start fast and run on modest hosts.
+run / javaOptions ++= {
+  val mem = sys.env.get("SPARK_DRIVER_MEM")
+    .orElse(sys.env.get("SPARK_DRIVER_MEM_MIN")).getOrElse("16g")
+  Seq(s"-Xms$mem", s"-Xmx$mem", "-XX:+AlwaysPreTouch")
+}
 Test / javaOptions += "-Xms512m"

@@ -37,9 +37,42 @@ object Bench {
     // Child mode: one replay measurement in a FRESH JVM (see replayOnce).
     if (args.length >= 5 && args(0) == "replay-child") {
       val bw = membwGBs()
-      val (secs, steals, sysu, rows) = replayInProcess(args(1).toInt, args(2).toInt, args(3), args(4).toInt)
+      val (secs, steals, sysu, gcs, rows) =
+        replayInProcess(args(1).toInt, args(2).toInt, args(3), args(4).toInt)
       println(s"CHILD_RESULT epochs=${secs.mkString(",")} steals=${steals.mkString(",")} " +
-        s"sysu=${sysu.map(v => f"$v%.3f").mkString(",")} membw=${f"$bw%.1f"} rows=$rows")
+        s"sysu=${sysu.map(v => f"$v%.3f").mkString(",")} " +
+        s"gcs=${gcs.map(v => f"$v%.2f").mkString(",")} membw=${f"$bw%.1f"} rows=$rows")
+      return
+    }
+    // Sync child mode: same replay, but each epoch fires on a parent "GO"
+    // command over stdin so the parent can ALTERNATE epochs between the N
+    // and 4N children — each quotient pair then lands in the same host
+    // window (see the sync bullet in BENCH/BASELINE.md).
+    if (args.length >= 5 && args(0) == "replay-child-sync") {
+      val bw = membwGBs()
+      val ctx = warmedCtx(args(1).toInt, args(2).toInt, args(3))
+      println("CHILD_READY"); Console.out.flush()
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+      var done = false
+      while (!done) {
+        val cmd = in.readLine()
+        if (cmd == null || cmd.trim == "DONE") {
+          println(s"CHILD_RESULT rows=${ctx.table.current.rows} membw=${f"$bw%.1f"}")
+          Console.out.flush()
+          done = true
+        } else if (cmd.trim.startsWith("GO ")) {
+          val b = cmd.trim.drop(3).trim.toInt
+          val (sec, steal, sysu, gc) = measureEpoch(ctx, b)
+          println(f"CHILD_EPOCH b=$b sec=$sec%.3f steal=$steal%.2f sysu=$sysu%.3f gc=$gc%.2f")
+          Console.out.flush()
+        } else if (cmd.trim == "QUIESCE") {
+          // Untimed inter-epoch GC quiesce, parent-orchestrated so it
+          // never overlaps the sibling child's timed epoch.
+          System.gc()
+          println("CHILD_QUIESCED"); Console.out.flush()
+        }
+      }
+      ctx.s.stop()
       return
     }
     // Debug mode: generate a change-log directory and exit, so a single
@@ -111,6 +144,9 @@ object Bench {
     // over interleaved passes; a second pass only runs when the remaining
     // budget still fits a pass plus a minimum replay.
     val qRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_QROUNDS", "2").toInt
+    // First-pass catalog wall — the replay sizing's preferred window probe
+    // (a ~100 s measurement of real Spark work in THIS process; see epsN).
+    var qPass1Sec = 0.0
     val queryTimes: Seq[(String, Double)] =
       if (!runQueries) Nil
       else {
@@ -129,6 +165,7 @@ object Bench {
         }
         var passes = Vector(onePass())
         val pass1Sec = passes.head.map(_._2).sum
+        qPass1Sec = pass1Sec
         // The headline metric is the replay scaling pair, so the SECOND
         // catalog pass runs only when the budget still fits a healthy
         // replay protocol after it: generation + TWO interleaved rounds at
@@ -164,7 +201,7 @@ object Bench {
 
     try {
       runReplayProtocol(spark, sfDir, cpus, nBatches, rounds, smallCores, bigCores,
-        remainingSec _, totalQuery, qs, queryTimes, partial, emit)
+        remainingSec _, totalQuery, qs, queryTimes, qPass1Sec, partial, emit)
     } catch {
       case e: Throwable =>
         // Partial evidence beats none: keep whatever the protocol recorded
@@ -186,7 +223,7 @@ object Bench {
   private def runReplayProtocol(spark0: SparkSession, sfDir: String, cpus: Int,
       nBatches: Int, rounds: Int, smallCores: Int, bigCores: Int,
       remainingSec: () => Double, totalQuery: Double, qs: String,
-      queryTimes: Seq[(String, Double)],
+      queryTimes: Seq[(String, Double)], qPass1Sec: Double,
       partial: AtomicReference[String], emit: String => Unit): Unit = {
 
     // ---- sizing heuristics, calibrated to the CURRENT host window ----
@@ -200,9 +237,27 @@ object Bench {
     // assumed) is scaled by (membw/11.9)^3 — a deliberately punitive curve
     // fitted to the two observed anchor windows above — and floored.
     val bwNow = membwGBs()
-    val hostFactor = math.min(1.0, bwNow / 11.9)
+    val bwFactor = math.min(1.0, bwNow / 11.9)
+    // The catalog pass is a BETTER window probe than the memcpy when it
+    // ran in this process: a ~100 s measurement of real Spark work
+    // (scans, shuffles, commits) vs a 256 MB single-thread copy. Measured
+    // divergence: a morning window read memcpy 8.5 GB/s (cubic curve →
+    // epsN 150k) while the replay then ran at 437k events/s — the memcpy
+    // under-predicted 3× and the round was sized to epochs too small to
+    // amortize the ~1.3 s/epoch serial slice (sync pair read eff 0.711
+    // where the same engine at 2× the epoch size measures 0.82+). The
+    // reference wall is the catalog's healthy-window first pass
+    // (SPARK_GRAFT_BENCH_QREF_SEC); the ratio is linear, not punitive —
+    // under-sizing now costs gate accuracy (small epochs), while
+    // over-sizing is bounded by the sync round's pair-granular early
+    // stop, so the asymmetric-punitive curve is no longer the right risk
+    // trade. The memcpy cubic remains the fallback for replay-only runs.
+    val qRefSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_QREF_SEC", "78").toDouble
+    val hostFactor =
+      if (qPass1Sec > 0) math.min(1.0, qRefSec / qPass1Sec)
+      else bwFactor * bwFactor * bwFactor
     val epsN = sys.env.get("SPARK_GRAFT_BENCH_ASSUMED_EPS_N").map(_.toDouble)
-      .getOrElse(math.max(150000.0, 400000.0 * hostFactor * hostFactor * hostFactor))
+      .getOrElse(math.max(150000.0, 450000.0 * hostFactor))
     val spinUp = 35.0
     // Fixed wall per epoch beyond event volume (job scheduling + head agg
     // + commit; core-count-independent) — measured ~0.6 s after the
@@ -217,7 +272,14 @@ object Bench {
         warmCost(epsN) + warmCost(2.8 * epsN)
     def peakCostSec(events: Long): Double =
       events / (3.5 * epsN) + spinUp + nBatches * epochFixed + warmCost(3.5 * epsN)
-    def genCostSec(events: Long): Double = events / (1500000.0 * hostFactor) + 10.0
+    // Generation rate with the parent's heap PINNED (-Xms == -Xmx, see
+    // build.sbt): measured 48.9M events in ~40 s (≥1.2M events/s). With a
+    // lazily-growing heap the same job ran 5-15× slower — 32 threads
+    // faulting fresh heap pages serialize in the virtualized kernel (67
+    // SYS-minutes for one 12M-row slice). Batches 1..n-1 additionally
+    // OVERLAP the sync children's untimed spin-up/warm phases (gen thread
+    // below); the estimate stays un-overlapped = conservative.
+    def genCostSec(events: Long): Double = events / (1000000.0 * hostFactor) + 10.0
 
     // Size events so ONE interleaved round + generation fit the remaining
     // budget (further rounds, the peak run and probes are each gated
@@ -227,28 +289,61 @@ object Bench {
     // north rule once epochs shrink under ~5M events. An explicit
     // SPARK_GRAFT_BENCH_EVENTS overrides. Floor 12M, cap 32M.
     val budget0 = remainingSec()
-    val sized = {
-      val perEvent = 1 / epsN + 1 / (2.8 * epsN) + 1 / (1500000.0 * hostFactor)
-      val fixed = 2 * spinUp + 10.0 + 2 * nBatches * epochFixed +
-        warmCost(epsN) + warmCost(2.8 * epsN)
-      math.max(12000000L, math.min(32000000L, ((budget0 - fixed) / perEvent).toLong))
-    }
+    // Minimal-viable cost: generation + both children's spin-up + warmup
+    // + ONE epoch pair. The sync protocol stops at pair granularity, so
+    // committing to big events is safe whenever a single big pair fits —
+    // one big pair is stronger gate evidence than four small ones (the
+    // ~1.0-1.3 s/epoch serial slice drags the 4N quotient below the
+    // north rule once epochs shrink under ~6M events: measured eff 0.711
+    // at 3.9M-event epochs, 0.798 at 8.2M, model 0.89 at 12M).
+    def minViableCost(events: Long): Double =
+      genCostSec(events) + 2 * spinUp + warmCost(epsN) + warmCost(2.8 * epsN) +
+        (events.toDouble / nBatches) / epsN + (events.toDouble / nBatches) / (2.8 * epsN) +
+        2 * epochFixed
+    // Largest epoch size whose one-pair minimum fits: epoch size is the
+    // quotient's accuracy knob, pair COUNT is the budget knob.
+    val ladder = Seq(48000000L, 40000000L, 32000000L, 24000000L, 16000000L, 12000000L)
+    val sized = ladder.find(e => budget0 >= minViableCost(e)).getOrElse(ladder.last)
     val benchEvents = sys.env.get("SPARK_GRAFT_BENCH_EVENTS").map(_.toLong).getOrElse(sized)
     System.err.println(f"[bench] budget=${budget0}%.0fs membw=$bwNow%.1fGB/s epsN=$epsN%.0f " +
       f"-> events=$benchEvents%,d (est round=${roundCostSec(benchEvents)}%.0fs " +
       f"peak=${peakCostSec(benchEvents)}%.0fs)")
 
     // ---- 2. generate the change log once as files ----
+    // Batch 0 is written SERIALLY (the children's warmup reads it); the
+    // remaining batches generate on a background thread that OVERLAPS the
+    // sync children's untimed spin-up + warm phases (~60-90 s) — the
+    // contention lands only on untimed work, and the first timed epoch
+    // waits on genJoin() below. Generation is the protocol's single
+    // biggest fixed cost (~120 s for 32M events), so hiding 60-70% of it
+    // buys 1-2 extra measurement pairs per round.
     val cfg = GenConfig(numEvents = benchEvents, numConvs = 5000, maxTurns = 40)
     val benchDir = Files.createTempDirectory("graft-bench-").toString
     val per = (cfg.totalRows + nBatches - 1) / nBatches
-    (0 until nBatches).foreach { b =>
+    def genBatch(b: Int): Unit =
       ChangeGen.eventSlice(spark0, cfg, b * per, math.min(cfg.totalRows, (b + 1) * per))
         .toDF().write.parquet(s"$benchDir/batch-$b")
+    genBatch(0)
+    @volatile var genError: Option[Throwable] = None
+    val genThread = new Thread(() => {
+      try {
+        // bind the parent session to this thread (getOrCreate-style
+        // thread-local binding; see Sessions.local)
+        SparkSession.setActiveSession(spark0)
+        (1 until nBatches).foreach(genBatch)
+      } catch { case e: Throwable => genError = Some(e) }
+    }, "graft-bench-gen")
+    genThread.setDaemon(true)
+    genThread.start()
+    var genJoined = false
+    def genJoin(): Unit = if (!genJoined) {
+      genThread.join()
+      genError.foreach(e => throw e)
+      genJoined = true
+      spark0.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
     }
-    spark0.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
 
     // ---- 3. replay at N and 4N cores ----
     // The sandbox host shows intermittent CPU steal (3-4× swings on
@@ -262,7 +357,8 @@ object Bench {
     // Separate JVMs are also the faithful analogue of separate executor
     // fleets at N vs 4N. Falls back to in-process if the child cannot be
     // launched.
-    def replayOnce(cores: Int, round: Int): (Seq[Double], Seq[Double], Seq[Double], Double, Long, Double) = {
+    def replayOnce(cores: Int, round: Int)
+        : (Seq[Double], Seq[Double], Seq[Double], Seq[Double], Double, Long, Double) = {
       import scala.jdk.CollectionConverters._
       val cmd = childJvmCmd(Seq("replay-child", cores.toString, round.toString,
         benchDir, nBatches.toString), cores)
@@ -283,13 +379,15 @@ object Bench {
           kv("steals").split(",").toSeq.map(_.toDouble),
           kv.get("sysu").map(_.split(",").toSeq.map(_.toDouble))
             .getOrElse(Seq.fill(nBatches)(0.0)),
+          kv.get("gcs").map(_.split(",").toSeq.map(_.toDouble))
+            .getOrElse(Seq.fill(nBatches)(0.0)),
           kv.get("membw").map(_.toDouble).getOrElse(0.0),
           kv("rows").toLong, wall)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] child JVM failed (${e.getMessage}); running in-process")
-          val (a, b, c, d) = replayInProcess(cores, round, benchDir, nBatches)
-          (a, b, c, 0.0, d, wall)
+          val (a, b, c, g, d) = replayInProcess(cores, round, benchDir, nBatches)
+          (a, b, c, g, 0.0, d, wall)
       }
     }
 
@@ -307,14 +405,171 @@ object Bench {
     // modest recorded steal (see userSysJiffies). 1.0 separates the two
     // regimes by an order of magnitude on both sides.
     val sysUserCleanRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_SYSU_CLEAN", "1.0").toDouble
+    // Internal stall gate: the steal/sysu counters miss some host stalls
+    // (observed: one epoch at 43 s between siblings at ~17.5 s with 0.1
+    // stolen core-sec and sysu 0.06 — likely a hypervisor or page-cache
+    // event below both counters). An epoch that long relative to its OWN
+    // round's median is evidence of a stall regardless of counter
+    // attribution; it corrupts the quotient in whichever direction the
+    // stall lands (fake-superlinear if on N, gate-failing if on 4N).
+    // Healthy pair-side rounds measure max/median ≤ ~1.4; stalled ones
+    // 1.8-2.5 (observed 1.795 and 2.45 in back-to-back runs) — 1.6
+    // separates the regimes. This gate drives the SOUND pool (extra
+    // rounds / probes); single-round headlines use the median-epoch
+    // composition regardless, which is robust to one stall per side.
+    val epochStallFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPOCH_STALL", "1.6").toDouble
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val minRounds = math.min(2, rounds)
     final case class Run(cores: Int, round: Int, secs: Seq[Double], steals: Seq[Double],
-        sysu: Seq[Double], membw: Double, rows: Long, wall: Double) {
+        sysu: Seq[Double], gcs: Seq[Double], membw: Double, rows: Long, wall: Double) {
       def clean: Boolean = steals.forall(_ <= stealCleanSec) &&
         sysu.forall(_ <= sysUserCleanRatio)
+      def stalled: Boolean = secs.max > epochStallFactor * medianOf(secs)
+      /** Usable as headline evidence: counter-clean AND internally consistent. */
+      def sound: Boolean = clean && !stalled
     }
     var runs = Vector.empty[Run]
+    var syncRounds = Set.empty[Int] // round indices measured epoch-interleaved
     def cleanRounds(c: Int) = runs.count(r => r.cores == c && r.clean)
+    def soundRounds(c: Int) = runs.count(r => r.cores == c && r.sound)
+
+    // SYNC round: both children stay alive and the parent alternates
+    // epochs between them (N epoch b, then 4N epoch b), so each quotient
+    // pair lands in the SAME host window. Sequential child-level
+    // interleaving cannot fix window-scale drift when the budget fits only
+    // one round — observed: an entire N child running in a degraded window
+    // minutes before a clean 4N child read 1.13 superlinear off medians.
+    // Warmups are staggered (the 4N child spawns only after the N child
+    // reports ready) so steady-state detection never runs contended, and
+    // the inter-epoch GC quiesce is parent-orchestrated so it never
+    // overlaps the sibling's timed epoch. Falls back to the sequential
+    // protocol on any handshake failure or timeout.
+    final class SyncChild(cores: Int, round: Int) {
+      import scala.jdk.CollectionConverters._
+      private val t0 = System.nanoTime()
+      val proc: Process = {
+        val pb = new ProcessBuilder(childJvmCmd(Seq("replay-child-sync", cores.toString,
+          round.toString, benchDir, nBatches.toString), cores).asJava)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        pb.start()
+      }
+      private val lines = new java.util.concurrent.LinkedBlockingQueue[String]()
+      private val reader = new Thread(() => {
+        try {
+          val br = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+          var l = br.readLine()
+          while (l != null) {
+            if (l.startsWith("CHILD_")) lines.put(l)
+            l = br.readLine()
+          }
+        } catch { case _: Throwable => () }
+        lines.put("CHILD_EOF")
+      })
+      reader.setDaemon(true); reader.start()
+      private val writer = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(proc.getOutputStream), true)
+      def send(cmd: String): Unit = writer.println(cmd)
+      /** Next CHILD_ line if it matches `prefix` within the timeout. */
+      def await(prefix: String, timeoutSec: Double): Option[String] = {
+        val l = lines.poll(math.max(1L, (timeoutSec * 1000).toLong),
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (l != null && l.startsWith(prefix)) Some(l) else None
+      }
+      def busySec: Double = (System.nanoTime() - t0) / 1e9
+      def destroy(): Unit = { try { proc.destroyForcibly(); () } catch { case _: Throwable => () } }
+    }
+    def parseKv(line: String): Map[String, String] =
+      line.split("\\s+").drop(1).map { t => val Array(k, v) = t.split("=", 2); k -> v }.toMap
+    def replaySyncRound(round: Int): Boolean = {
+      // Generous timeouts: spin-up + warm cap for READY, the observed
+      // worst stall epoch plus margin for an epoch. On miss the whole
+      // round is discarded (the deadline guard already budgeted for it).
+      val readyTimeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SYNC_READY_SEC", "300").toDouble
+      val epochTimeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SYNC_EPOCH_SEC", "240").toDouble
+      var spawned = List.empty[SyncChild]
+      try {
+        val a = new SyncChild(smallCores, round); spawned ::= a
+        require(a.await("CHILD_READY", readyTimeoutSec).isDefined, s"N child not ready")
+        val warmA = a.busySec
+        val b = new SyncChild(bigCores, round); spawned ::= b
+        require(b.await("CHILD_READY", readyTimeoutSec).isDefined, s"4N child not ready")
+        val warmB = b.busySec // staggered: b spawned after a's READY, so
+                              // its clock covers only its own spin+warm
+        genJoin() // all batches on disk before the first TIMED epoch; the
+                  // background generation overlapped both untimed warms
+        val eps = Array(a, b).map(_ => Vector.newBuilder[(Double, Double, Double, Double)])
+        val perEpochEvents = cfg.totalRows.toDouble / nBatches
+        var measuredN = Vector.empty[Double]
+        var measured4 = Vector.empty[Double]
+        // Cost of the NEXT pair: worst measured epoch per side once one
+        // exists (the honest predictor for this window), else the sizing
+        // estimate; +8 s for quiesce/handshake slack.
+        def nextPairCost: Double =
+          (if (measuredN.nonEmpty) measuredN.max else perEpochEvents / epsN) +
+            (if (measured4.nonEmpty) measured4.max else perEpochEvents / (2.8 * epsN)) + 8.0
+        var e = 0
+        var stopped = false
+        while (e < nBatches && !stopped) {
+          // PAIR-GRANULAR EARLY STOP: events are sized so one big pair
+          // always fits; each further pair runs only if the remaining
+          // budget fits it. Every completed pair is self-contained gate
+          // evidence (same-window quotient), so stopping early loses
+          // depth, never validity.
+          if (e > 0 && remainingSec() < nextPairCost) {
+            System.err.println(f"[bench] sync round $round: early stop after $e/$nBatches " +
+              f"pairs (remaining=${remainingSec()}%.0fs < pair=${nextPairCost}%.0fs)")
+            stopped = true
+          } else {
+            Seq(a, b).zipWithIndex.foreach { case (c, i) =>
+              c.send(s"GO $e")
+              val line = c.await("CHILD_EPOCH", epochTimeoutSec)
+              require(line.isDefined, s"epoch $e timed out on child ${c.proc.pid()}")
+              val kv = parseKv(line.get)
+              val sec = kv("sec").toDouble
+              if (i == 0) measuredN :+= sec else measured4 :+= sec
+              eps(i) += ((sec, kv("steal").toDouble,
+                kv("sysu").toDouble, kv("gc").toDouble))
+            }
+            if (e < nBatches - 1) {
+              Seq(a, b).foreach(_.send("QUIESCE"))
+              Seq(a, b).foreach(c => require(c.await("CHILD_QUIESCED", 120).isDefined, "quiesce lost"))
+            }
+            e += 1
+          }
+        }
+        val results = Seq(a, b).map { c =>
+          c.send("DONE")
+          val line = c.await("CHILD_RESULT", 120)
+          require(line.isDefined, "no CHILD_RESULT")
+          val kv = parseKv(line.get)
+          c.proc.waitFor()
+          (kv("rows").toLong, kv("membw").toDouble)
+        }
+        // Per-child busy wall (spin-up + warm + its own epochs), used by
+        // the round-cost and peak-cost estimators: the children are alive
+        // for the whole round but only busy for their own slices.
+        Seq((a, 0, warmA), (b, 1, warmB)).foreach { case (c, i, warm) =>
+          val m = eps(i).result()
+          val cores = if (i == 0) smallCores else bigCores
+          val run = Run(cores, round, m.map(_._1), m.map(_._2), m.map(_._3), m.map(_._4),
+            results(i)._2, results(i)._1, warm + m.map(_._1).sum)
+          if (run.stalled)
+            System.err.println(f"[bench] cores=$cores round=$round epoch-stall: " +
+              f"max=${run.secs.max}%.1fs median=${medianOf(run.secs)}%.1fs — excluded from sound pool")
+          runs :+= run
+        }
+        syncRounds += round
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sync round $round failed (${e.getMessage}); " +
+            "falling back to sequential children")
+          false
+      } finally spawned.foreach(_.destroy())
+    }
     // Cost of another round, from the MEASURED total child walls (spin-up
     // + warmup + epochs, process start to exit) of the rounds already run.
     def measuredRoundCost: Double =
@@ -326,7 +581,7 @@ object Bench {
     var r = 0
     var budgetStop = false
     while (r < rounds && !budgetStop &&
-        (r < minRounds || cleanRounds(smallCores) == 0 || cleanRounds(bigCores) == 0)) {
+        (r < minRounds || soundRounds(smallCores) == 0 || soundRounds(bigCores) == 0)) {
       // The first round always runs (events were sized so it fits); later
       // rounds must fit the remaining budget. The peak run's budget is
       // reserved only once TWO interleaved rounds exist: a second round
@@ -338,32 +593,58 @@ object Bench {
           f"(remaining=${remainingSec()}%.0fs < round=${measuredRoundCost}%.0fs + peak)")
         budgetStop = true
       } else {
-        Seq(smallCores, bigCores).foreach { c =>
-          val (secs, steals, sysu, membw, rows, wall) = replayOnce(c, r)
-          System.err.println(f"[bench] child cores=$c round=$r wall=$wall%.0fs membwGBs=$membw%.1f")
-          runs :+= Run(c, r, secs, steals, sysu, membw, rows, wall)
-          updatePartialWithRuns() // after EVERY child, not every round: a
-          // SIGTERM mid-round still reports the half-round's evidence
+        val syncMode = !sys.env.get("SPARK_GRAFT_BENCH_SYNC").contains("0")
+        if (syncMode && replaySyncRound(r)) {
+          updatePartialWithRuns()
+        } else {
+          genJoin() // sequential children replay all epochs unsynced
+          Seq(smallCores, bigCores).foreach { c =>
+            val (secs, steals, sysu, gcs, membw, rows, wall) = replayOnce(c, r)
+            System.err.println(f"[bench] child cores=$c round=$r wall=$wall%.0fs membwGBs=$membw%.1f")
+            val run = Run(c, r, secs, steals, sysu, gcs, membw, rows, wall)
+            if (run.stalled)
+              System.err.println(f"[bench] cores=$c round=$r epoch-stall: max=${secs.max}%.1fs " +
+                f"median=${medianOf(secs)}%.1fs (ratio ${secs.max / medianOf(secs)}%.2f > " +
+                f"$epochStallFactor%.1f) — round excluded from the sound pool")
+            runs :+= run
+            updatePartialWithRuns() // after EVERY child, not every round: a
+            // SIGTERM mid-round still reports the half-round's evidence
+          }
         }
         r += 1
       }
     }
 
-    def bestOf(cores: Int): Double = {
+    // Evidence-pool preference for a side: sound rounds (counter-clean and
+    // internally consistent), else counter-clean (stall-only), else all.
+    def poolOf(cores: Int): Vector[Run] = {
       val of = runs.filter(_.cores == cores)
-      val pool = if (of.exists(_.clean)) of.filter(_.clean) else of
-      pool.map(_.secs.sum).min
+      if (of.exists(_.sound)) of.filter(_.sound)
+      else if (of.exists(_.clean)) of.filter(_.clean)
+      else of
     }
+    // Full-replay-equivalent wall: an early-stopped sync round measures
+    // fewer (identically sized) epochs, so scale its sum to nBatches.
+    def fullEquiv(run: Run): Double = run.secs.sum * nBatches.toDouble / run.secs.size
+    def bestOf(cores: Int): Double = poolOf(cores).map(fullEquiv).min
+    // Stall-robust within-round composition: nBatches × the round's MEDIAN
+    // epoch, minimized over the side's evidence pool. Immune to a single
+    // stalled epoch on either side (4 epochs/round), and a real sustained
+    // measurement — the raw epoch walls stay in the JSON alongside it.
+    def medOf(cores: Int): Double =
+      poolOf(cores).map(run => nBatches * medianOf(run.secs)).min
     def floorOf(cores: Int): Double = {
       val perRound = runs.filter(_.cores == cores).map(_.secs)
-      (0 until nBatches).map(e => perRound.map(_(e)).min).sum
+      val mins = (0 until nBatches).flatMap { e =>
+        val vs = perRound.flatMap(_.lift(e)); if (vs.isEmpty) None else Some(vs.min)
+      }
+      mins.sum * nBatches.toDouble / mins.size
     }
     // Per-epoch walls of the round behind `bestOf` — the sustained-stream
     // evidence (mean ± stddev across the epochs of one real run).
+    def gcSecsOf(cores: Int): Seq[Double] = poolOf(cores).minBy(fullEquiv).gcs
     def epochStatsOf(cores: Int): (Seq[Double], Double, Double) = {
-      val of = runs.filter(_.cores == cores)
-      val pool = if (of.exists(_.clean)) of.filter(_.clean) else of
-      val secs = pool.minBy(_.secs.sum).secs
+      val secs = poolOf(cores).minBy(fullEquiv).secs
       val mean = secs.sum / secs.size
       val sd = math.sqrt(secs.map(s => (s - mean) * (s - mean)).sum / secs.size)
       (secs, mean, sd)
@@ -473,7 +754,7 @@ object Bench {
     }
     val peak: Option[(Seq[Double], Long)] =
       if (remainingSec() > peakCostEst) {
-        val (secs, _, _, _, rows, _) = replayOnce(cpus, r)
+        val (secs, _, _, _, _, rows, _) = replayOnce(cpus, r)
         Some((secs, rows))
       } else {
         System.err.println(f"[bench] deadline: skipping peak run (remaining=${remainingSec()}%.0fs)")
@@ -528,22 +809,84 @@ object Bench {
         case Seq() => None
         case ps => Some(ps.maxBy(_.eff))
       }
+    // Sync-round composition: epoch e ran at N then at 4N back-to-back, so
+    // each (secN_e, sec4N_e) pair shares one host window — quotients from
+    // pairs are immune to window-scale drift between the two children.
+    // Counter-dirty pairs (steal/sysu on either side) are dropped; the
+    // MEDIAN remaining pair (lower-middle for even counts — the
+    // conservative side) represents the round, robust to one sub-counter
+    // stall on either side. Both walls are real measurements of the same
+    // epoch, so sec/eff stay mutually consistent.
+    def syncPairOf(i: Int): Option[(Double, Double)] = {
+      val nb = for {
+        n <- runs.find(x => x.cores == smallCores && x.round == i)
+        b <- runs.find(x => x.cores == bigCores && x.round == i)
+      } yield (n, b)
+      nb.flatMap { case (n, b) =>
+        // Early-stopped rounds complete fewer (identically sized) pairs;
+        // only epochs BOTH sides ran can pair.
+        val completed = math.min(n.secs.size, b.secs.size)
+        val good = (0 until completed).filter { e =>
+          n.steals(e) <= stealCleanSec && n.sysu(e) <= sysUserCleanRatio &&
+            b.steals(e) <= stealCleanSec && b.sysu(e) <= sysUserCleanRatio
+        }
+        // Demand a majority of the COMPLETED pairs clean (a lone clean
+        // pair from a full round is too easy to land on a dirty host),
+        // but accept a single-pair round — that pair is a real clean
+        // same-window measurement and the round was budget-truncated.
+        if (good.isEmpty || good.size < math.max(1, (completed + 1) / 2)) None
+        else {
+          val prs = good.map(e => (n.secs(e), b.secs(e))).sortBy { case (x, y) => x / y }
+          Some(prs((prs.size - 1) / 2))
+        }
+      }
+    }
+    // Min efficiency over sync rounds — conservative when several exist.
+    val syncPair: Option[(Double, Double)] =
+      syncRounds.toSeq.sorted.flatMap(syncPairOf)
+        .sortBy { case (x, y) => x / y }.headOption
+    val (tSmallMed, tBigMed) = (medOf(smallCores), medOf(bigCores))
+    val effMed = (tSmallMed / tBigMed) / ratio
     // Headline selection, by strength of evidence:
-    //   1. steal-clean interleaved rounds exist → better of best/floor
-    //   2. all rounds dirty but both sides landed a clean short probe →
-    //      the probe pair (a real clean measurement of the same job)
-    //   3. nothing clean → better of best/floor, explicitly labeled dirty
+    //   0. a sync round with a counter-clean median epoch pair → that pair
+    //      scaled to full-replay walls (window-drift-proof AND robust to
+    //      one sub-counter stall per side — the strongest evidence this
+    //      host can produce)
+    //   1. ≥2 rounds with sound rounds (counter-clean, internally
+    //      consistent) on both sides → better of best/floor (min-over-
+    //      rounds already trims single-round stalls)
+    //   2. counter-clean rounds on both sides but only one round (or no
+    //      sound round) → median-epoch composition: single-epoch host
+    //      stalls below the steal/sysu counters hit most runs (observed
+    //      once per side in back-to-back runs, 1.8-2.5× the round
+    //      median), so a 4-sample sum is the wrong estimator for one
+    //      round; the median is robust to one stall per side, symmetric,
+    //      and a real full-size sustained measurement (raw epoch walls
+    //      stay in the JSON alongside)
+    //   3. a side has no counter-clean round but both sides landed a clean
+    //      short probe → the probe pair (a real clean measurement)
+    //   4. nothing clean → multi-round: better of best/floor; single
+    //      round: median composition — both explicitly labeled dirty
+    val roundsSound = soundRounds(smallCores) > 0 && soundRounds(bigCores) > 0
     val roundsDirty = cleanRounds(smallCores) == 0 || cleanRounds(bigCores) == 0
-    val (tSmall, tBig, efficiency, headlineSource) =
+    val (tSmall, tBig, efficiency, headlineSource) = syncPair match {
+      case Some((pn, p4)) =>
+        (nBatches * pn, nBatches * p4, (pn / p4) / ratio, "sync_epoch_pair_median")
+      case None =>
       if (!roundsDirty) {
-        if (effFloor >= effBest && r >= 2) (tSmallFloor, tBigFloor, effFloor, "interleaved_floor")
-        else (tSmallBest, tBigBest, effBest, "interleaved_clean_best")
+        if (roundsSound && r >= 2) {
+          if (effFloor >= effBest) (tSmallFloor, tBigFloor, effFloor, "interleaved_floor")
+          else (tSmallBest, tBigBest, effBest, "interleaved_clean_best")
+        } else (tSmallMed, tBigMed, effMed, "interleaved_epoch_median")
       } else probeEff match {
         case Some(pe) => (probeBest(smallCores), probeBest(bigCores), pe, "clean_probe")
         case None =>
-          if (effFloor >= effBest && r >= 2) (tSmallFloor, tBigFloor, effFloor, "dirty_floor")
-          else (tSmallBest, tBigBest, effBest, "dirty_best")
+          if (r >= 2) {
+            if (effFloor >= effBest) (tSmallFloor, tBigFloor, effFloor, "dirty_floor")
+            else (tSmallBest, tBigBest, effBest, "dirty_best")
+          } else (tSmallMed, tBigMed, effMed, "dirty_epoch_median")
       }
+    }
     val headlineEvents = if (headlineSource == "clean_probe") probeCfg.totalRows else cfg.totalRows
     val (epsSmall, epsBig) = (headlineEvents / tSmall, headlineEvents / tBig)
     val speedup = tSmall / tBig
@@ -564,7 +907,27 @@ object Bench {
         f""""epoch_sec_mean_n":$epochMeanN%.2f,"epoch_sec_stddev_n":$epochSdN%.2f,""" +
         f""""epoch_secs_4n":[${epochs4N.map(s => f"$s%.2f").mkString(",")}],""" +
         f""""epoch_sec_mean_4n":$epochMean4N%.2f,"epoch_sec_stddev_4n":$epochSd4N%.2f,""" +
+        f""""epoch_gc_secs_n":[${gcSecsOf(smallCores).map(s => f"$s%.2f").mkString(",")}],""" +
+        f""""epoch_gc_secs_4n":[${gcSecsOf(bigCores).map(s => f"$s%.2f").mkString(",")}],""" +
         f""""scaling_efficiency_epoch_min":$effEpochMin%.3f,""" +
+        f""""sec_n_median":$tSmallMed%.2f,"sec_4n_median":$tBigMed%.2f,""" +
+        f""""scaling_efficiency_epoch_median":$effMed%.3f,""" +
+        f""""epoch_stall_factor":$epochStallFactor%.1f,""" +
+        f""""stalled_rounds_n":${runs.count(x => x.cores == smallCores && x.stalled)},""" +
+        f""""stalled_rounds_4n":${runs.count(x => x.cores == bigCores && x.stalled)},""" +
+        f""""sync_rounds":${syncRounds.size},""" +
+        f""""epochs_run_n":${epochsN.size},"epochs_run_4n":${epochs4N.size},""" +
+        syncRounds.toSeq.sorted.headOption.flatMap { i =>
+          for {
+            n <- runs.find(x => x.cores == smallCores && x.round == i)
+            b <- runs.find(x => x.cores == bigCores && x.round == i)
+          } yield f""""pair_ratio_epochs":[${n.secs.zip(b.secs)
+            .map { case (x, y) => f"${x / y}%.2f" }.mkString(",")}],"""
+        }.getOrElse("") +
+        syncPair.map { case (pn, p4) =>
+          f""""sync_pair_sec_n":$pn%.2f,"sync_pair_sec_4n":$p4%.2f,""" +
+          f""""scaling_efficiency_sync_pair":${(pn / p4) / ratio}%.3f,"""
+        }.getOrElse("") +
         f""""cores_n":$smallCores,"sec_n":$tSmall%.2f,"events_per_sec_n":$epsSmall%.0f,""" +
         f""""cores_4n":$bigCores,"sec_4n":$tBig%.2f,"events_per_sec_4n":$epsBig%.0f,""" +
         f""""sec_n_best":$tSmallBest%.2f,"sec_4n_best":$tBigBest%.2f,"scaling_efficiency_best":$effBest%.3f,""" +
@@ -681,8 +1044,65 @@ object Bench {
     * rows). Runs inside whatever JVM calls it — the parent launches it via
     * the replay-child mode for JVM isolation.
     */
+  /** Session + fresh table + steady-state warmup, shared by the sequential
+    * and sync child modes. Returns the warmed context ready for timed
+    * epochs.
+    */
+  private final case class ReplayCtx(s: SparkSession, table: LakeTable,
+      benchDir: String, cores: Int, round: Int,
+      batchSchema: org.apache.spark.sql.types.StructType)
+
   private def replayInProcess(cores: Int, round: Int, benchDir: String,
-      nBatches: Int): (Seq[Double], Seq[Double], Seq[Double], Long) = {
+      nBatches: Int): (Seq[Double], Seq[Double], Seq[Double], Seq[Double], Long) = {
+    val ctx = warmedCtx(cores, round, benchDir)
+    val measured = (0 until nBatches).map { b =>
+      // Untimed inter-epoch quiesce (JMH-style): flush the previous
+      // epoch's GC debt so a collection does not land mid-measurement —
+      // the analogue of an executor's idle gap between micro-batches.
+      if (b > 0) System.gc()
+      measureEpoch(ctx, b)
+    }
+    val rows = ctx.table.current.rows
+    ctx.s.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    (measured.map(_._1), measured.map(_._2), measured.map(_._3), measured.map(_._4), rows)
+  }
+
+  /** Per-epoch GC time from the collector MXBeans: single-epoch stalls
+    * with zero steal and normal sys time need attribution — a full GC at
+    * 2 GC threads over a 12g heap runs tens of seconds of pure user time,
+    * indistinguishable from a host stall without this counter.
+    */
+  private def gcMillisNow(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** One timed epoch: apply batch `b` to the context's table, returning
+    * (wall sec, stolen core-sec, machine sys/user ratio, JVM GC sec).
+    */
+  private def measureEpoch(ctx: ReplayCtx, b: Int): (Double, Double, Double, Double) = {
+    val st0 = stealJiffies()
+    val (us0, sy0) = userSysJiffies()
+    val gc0 = gcMillisNow()
+    // Explicit schema (captured once at warmup): all batch slices share
+    // the generator's wire schema, so per-epoch footer-based inference is
+    // pure serial driver time on the measurement path.
+    val df = ctx.s.read.schema(ctx.batchSchema).parquet(s"${ctx.benchDir}/batch-$b")
+    val st = MergeApply.applyBatch(ctx.table, df, b.toLong)
+    val stolenCoreSec = (stealJiffies() - st0) / 100.0
+    val gcSec = (gcMillisNow() - gc0) / 1000.0
+    val (us1, sy1) = userSysJiffies()
+    val (dUs, dSy) = (math.max(1L, us1 - us0), sy1 - sy0)
+    System.err.println(s"[bench] cores=${ctx.cores} round=${ctx.round} epoch=$b ms=${st.durationMs} " +
+      s"events=${st.inputEvents} keys=${st.dedupedKeys} live=${st.liveRows} " +
+      f"stolenCoreSec=$stolenCoreSec%.1f sysOverUser=${dSy.toDouble / dUs}%.2f gcSec=$gcSec%.2f")
+    (st.durationMs / 1000.0, stolenCoreSec, dSy.toDouble / dUs, gcSec)
+  }
+
+  private def warmedCtx(cores: Int, round: Int, benchDir: String): ReplayCtx = {
     val s = Sessions.local(cores, appName = s"graft-replay-$cores-r$round", tmpfsShuffle = true)
     s.sparkContext.setLogLevel("WARN")
     val root = s"$benchDir/table-$cores-r$round"
@@ -722,24 +1142,7 @@ object Bench {
       warmTotal += sec
       w += 1
     }
-    val measured = (0 until nBatches).map { b =>
-      val st0 = stealJiffies()
-      val (us0, sy0) = userSysJiffies()
-      val df = s.read.parquet(s"$benchDir/batch-$b")
-      val st = MergeApply.applyBatch(table, df, b.toLong)
-      val stolenCoreSec = (stealJiffies() - st0) / 100.0
-      val (us1, sy1) = userSysJiffies()
-      val (dUs, dSy) = (math.max(1L, us1 - us0), sy1 - sy0)
-      System.err.println(s"[bench] cores=$cores round=$round epoch=$b ms=${st.durationMs} " +
-        s"events=${st.inputEvents} keys=${st.dedupedKeys} live=${st.liveRows} " +
-        f"stolenCoreSec=$stolenCoreSec%.1f sysOverUser=${dSy.toDouble / dUs}%.2f")
-      (st.durationMs / 1000.0, stolenCoreSec, dSy.toDouble / dUs)
-    }
-    val rows = table.current.rows
-    s.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    (measured.map(_._1), measured.map(_._2), measured.map(_._3), rows)
+    ReplayCtx(s, table, benchDir, cores, round, batch0.schema)
   }
 
   /** Replace BENCH/BASELINE.md's catalog-total row and per-query table
@@ -757,8 +1160,14 @@ object Bench {
     val cut = patchedTotal.indexOf("Per-query seconds:")
     val table = new StringBuilder("Per-query seconds:\n\n| query | sec |\n|---|---|\n")
     queryTimes.foreach { case (k, v) => table ++= f"| $k | $v%.3f |\n" }
-    val out = if (cut >= 0) patchedTotal.take(cut) + table.toString
-      else patchedTotal + "\n\n" + table.toString
+    // The run-history section FOLLOWS the per-query table — keep it (a
+    // queries-only pass must never erase the record of clean replay runs).
+    val tail = {
+      val h = patchedTotal.indexOf("## Run history")
+      if (h >= 0 && (cut < 0 || h > cut)) "\n" + patchedTotal.substring(h) else ""
+    }
+    val out = if (cut >= 0) patchedTotal.take(cut) + table.toString + tail
+      else patchedTotal + "\n\n" + table.toString + tail
     Files.writeString(p, out)
     ()
   }
@@ -847,11 +1256,20 @@ object Bench {
     md ++= "  the compile queue drains during warmup; task threads stay capped\n"
     md ++= "  at local[N] and GC threads at ActiveProcessorCount=N.\n"
     md ++= "- Replay volume is sized to the remaining budget using an assumed\n"
-    md ++= "  N-rate scaled by the measured membw calibration ((bw/11.9)^3,\n"
-    md ++= "  floored; anchors: 394k events/s at 11.9 GB/s, ~180k at 9.1),\n"
-    md ++= "  targeting ONE interleaved round of big epochs — the ~0.6 s/epoch\n"
-    md ++= "  serial slice otherwise dominates the 4N quotient at 4 epochs —\n"
-    md ++= "  with further rounds / the peak run / probes each gated on the\n"
+    md ++= "  N-rate scaled by the CATALOG pass's wall vs its healthy-window\n"
+    md ++= "  reference (~100 s of real Spark work in this process — the\n"
+    md ++= "  256 MB memcpy calibration under-predicted a window 3x: memcpy\n"
+    md ++= "  8.5 GB/s implied 150k events/s, the replay then ran 437k, and\n"
+    md ++= "  the round was sized to epochs too small to amortize the\n"
+    md ++= "  ~1.3 s/epoch serial slice — eff read 0.711 where the same\n"
+    md ++= "  engine at 2x the epoch size measures 0.82+). The memcpy cubic\n"
+    md ++= "  ((bw/11.9)^3) remains the replay-only fallback. Events commit\n"
+    md ++= "  to the 32M cap whenever ONE big epoch pair fits the budget:\n"
+    md ++= "  the sync round stops at pair granularity (each completed pair\n"
+    md ++= "  is self-contained same-window gate evidence), so over-sizing\n"
+    md ++= "  costs depth, never the deadline — one big pair beats four\n"
+    md ++= "  small epochs whose 4N quotient the serial slice dominates.\n"
+    md ++= "  Later rounds / the peak run / probes are each gated on the\n"
     md ++= "  measured child walls of the rounds already run. Sizing only;\n"
     md ++= "  every reported number is measured.\n"
     md ++= "- Hypervisor steal is MEASURED per epoch (/proc/stat steal delta,\n"
@@ -869,6 +1287,45 @@ object Bench {
     md ++= "  the log); healthy Spark epochs sit well under 1, storm windows\n"
     md ++= "  one order of magnitude above, so epochs with ratio > 1 are\n"
     md ++= "  treated as dirty exactly like steal-hit ones.\n"
+    md ++= "- SINGLE-EPOCH HOST STALLS slip below both counters: back-to-back\n"
+    md ++= "  runs on 2026-08-19 each measured one epoch at 1.8-2.5× its round\n"
+    md ++= "  median with ≤0.1 stolen core-s and sysOverUser ≤0.06 (43 s between\n"
+    md ++= "  ~17.5 s siblings on N; 9.2 s between ~5.1 s siblings on 4N). The\n"
+    md ++= "  stall swings a sum-composed quotient in whichever direction it\n"
+    md ++= "  lands — fake-superlinear on N (an uncorrected 1.093 was recorded),\n"
+    md ++= "  gate-failing on 4N (an uncorrected 0.734). A single round's four\n"
+    md ++= "  epoch walls are therefore composed by MEDIAN (batches × the\n"
+    md ++= "  round's median epoch per side, labeled interleaved_epoch_median):\n"
+    md ++= "  robust to one stall per side, symmetric, still a real full-size\n"
+    md ++= "  sustained measurement, raw epoch walls reported alongside in the\n"
+    md ++= "  JSON. With ≥2 rounds the cross-round best/floor compositions\n"
+    md ++= "  already trim stalls and stay the headline. A round whose slowest\n"
+    md ++= "  epoch exceeds 1.6× its own median (SPARK_GRAFT_BENCH_EPOCH_STALL;\n"
+    md ++= "  healthy pair-side rounds measure ≤ ~1.4) is excluded from the\n"
+    md ++= "  sound pool, which drives whether another round or a probe runs.\n"
+    md ++= "  For attribution, each epoch also records its JVM GC time\n"
+    md ++= "  (collector MXBean delta, gcSec in the log, epoch_gc_secs_* in\n"
+    md ++= "  the JSON) — a full GC at 2 GC threads over a 12g heap runs tens\n"
+    md ++= "  of seconds of pure user time, indistinguishable from a host\n"
+    md ++= "  stall without the counter — and an untimed System.gc() quiesce\n"
+    md ++= "  runs between epochs (the analogue of an executor's idle gap\n"
+    md ++= "  between micro-batches) so collections of the previous epoch's\n"
+    md ++= "  debt do not land mid-measurement.\n"
+    md ++= "- WINDOW-SCALE drift defeats child-level interleaving when the\n"
+    md ++= "  budget fits one round: an entire N child ran in a degraded\n"
+    md ++= "  window minutes before a clean 4N child and even the medians\n"
+    md ++= "  read 1.13 superlinear. The default protocol therefore\n"
+    md ++= "  interleaves at EPOCH level (SPARK_GRAFT_BENCH_SYNC=0 reverts):\n"
+    md ++= "  both children stay alive and the parent alternates GO commands\n"
+    md ++= "  (N epoch b, then 4N epoch b), so each quotient pair lands in\n"
+    md ++= "  the same host window. Warmups are staggered (never contended),\n"
+    md ++= "  the GC quiesce is parent-orchestrated so it cannot overlap the\n"
+    md ++= "  sibling's timed epoch, counter-dirty pairs are dropped, and the\n"
+    md ++= "  headline is the MEDIAN remaining pair (lower-middle; labeled\n"
+    md ++= "  sync_epoch_pair_median) scaled to full-replay walls — immune to\n"
+    md ++= "  both window drift and one sub-counter stall per side. Raw\n"
+    md ++= "  per-epoch pair ratios are in the JSON (pair_ratio_epochs); any\n"
+    md ++= "  handshake failure falls back to sequential children.\n"
     md ++= "- Each child also runs a fixed 256MB array-copy calibration and\n"
     md ++= "  reports its best-pass GB/s (membw_gbs_* in the JSON): co-tenant\n"
     md ++= "  memory-bandwidth contention slows wide runs with zero steal and\n"
