@@ -533,6 +533,23 @@ object Bench {
               eps(i) += ((sec, kv("steal").toDouble,
                 kv("sysu").toDouble, kv("gc").toDouble))
             }
+            // Keep the SIGTERM-emergency JSON current after EVERY pair:
+            // the sync round is now most of the protocol's wall, and a
+            // mid-round kill must still report the pairs already measured.
+            locally {
+              val ratios = measuredN.zip(measured4).map { case (x, y) => x / y }
+              val med = ratios.sorted.apply((ratios.size - 1) / 2)
+              partial.set(
+                f"""{"metric":"total","value":$totalQuery%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+                  f""""cdc":{"events":${cfg.totalRows},"batches":$nBatches,""" +
+                  f""""sync_pairs_done":${e + 1},""" +
+                  f""""pair_ratio_epochs":[${ratios.map(r => f"$r%.2f").mkString(",")}],""" +
+                  f""""epoch_secs_n":[${measuredN.map(s => f"$s%.2f").mkString(",")}],""" +
+                  f""""epoch_secs_4n":[${measured4.map(s => f"$s%.2f").mkString(",")}],""" +
+                  f""""cores_n":$smallCores,"cores_4n":$bigCores,""" +
+                  f""""scaling_efficiency":${med / (bigCores.toDouble / smallCores)}%.3f,""" +
+                  f""""headline_source":"sync_partial","truncated":"mid_sync_round"}}""")
+            }
             if (e < nBatches - 1) {
               Seq(a, b).foreach(_.send("QUIESCE"))
               Seq(a, b).foreach(c => require(c.await("CHILD_QUIESCED", 120).isDefined, "quiesce lost"))
