@@ -41,9 +41,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // measured 72 s wall / 17m21 SYS against 19 s / 31 s at 16g — the
 // sandbox provisions pages above that watermark at hypervisor speed).
 // Tests keep a small -Xms so suites start fast and run on modest hosts.
+// SPARK_DRIVER_MEM_MIN sets the PIN (both -Xms and the default -Xmx);
+// SPARK_DRIVER_MEM keeps its documented meaning as the -Xmx ceiling
+// only — a user raising the ceiling gets lazy growth above the pin (the
+// trade they asked for), not a giant pre-touch at every JVM start.
 run / javaOptions ++= {
-  val mem = sys.env.get("SPARK_DRIVER_MEM")
-    .orElse(sys.env.get("SPARK_DRIVER_MEM_MIN")).getOrElse("16g")
-  Seq(s"-Xms$mem", s"-Xmx$mem", "-XX:+AlwaysPreTouch")
+  val pin = sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "16g")
+  val ceil = sys.env.getOrElse("SPARK_DRIVER_MEM", pin)
+  Seq(s"-Xms$pin", s"-Xmx$ceil", "-XX:+AlwaysPreTouch")
 }
 Test / javaOptions += "-Xms512m"

@@ -777,8 +777,17 @@ object Bench {
         System.err.println(f"[bench] deadline: skipping peak run (remaining=${remainingSec()}%.0fs)")
         None
       }
-    val rowsAll = (runs.map(_.rows) ++ peak.map(_._2)).distinct
-    require(rowsAll.size == 1, s"parallelism changed final state: $rowsAll")
+    // Final-state equality PER EPOCH DEPTH: an early-stopped sync round
+    // applies fewer epochs, so its final row count legitimately differs
+    // from a full round's (or the peak run's, which always replays all
+    // batches) — comparing across depths would abort a valid protocol.
+    // Within one depth, N and 4N children must agree exactly.
+    val rowsByDepth = (runs.map(r => r.secs.size -> r.rows) ++
+      peak.map(p => nBatches -> p._2)).groupBy(_._1)
+    rowsByDepth.foreach { case (d, rs) =>
+      require(rs.map(_._2).distinct.size == 1,
+        s"parallelism changed final state after $d epochs: ${rs.map(_._2).distinct}")
+    }
 
     val probeEff: Option[Double] =
       for { pn <- probeBest.get(smallCores); p4 <- probeBest.get(bigCores) }
@@ -799,7 +808,7 @@ object Bench {
       case None => (tBigBest, bigCores)
     }
     val epsPeak = cfg.totalRows / peakSecsSum
-    val rowsBig = rowsAll.head
+    val rowsBig = rowsByDepth.maxBy(_._1)._2.head._2
     val ratio = bigCores.toDouble / smallCores
     val effBest = (tSmallBest / tBigBest) / ratio
     val effFloor = (tSmallFloor / tBigFloor) / ratio

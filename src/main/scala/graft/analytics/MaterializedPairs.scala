@@ -169,7 +169,14 @@ object MaterializedPairs {
       merged.repartition(math.max(1, math.min(touched.size, 8)), col("_bucket")),
       schemaVer = 1)
     val newLive = files.map(_.live).sum
-    val oldLive = cur.files.filter(f => touched.contains(f.bucket)).map(_.live).sum
+    // Same -1-sentinel guard as MergeApply/Scd2History: a replaced file
+    // with unknown live stats (foreign writer, statless footer) must be
+    // recounted, not summed — a -1 in the sum skews rowDelta and persists
+    // a wrong row count in the snapshot manifest.
+    val replaced = cur.files.filter(f => touched.contains(f.bucket))
+    val oldLive =
+      if (replaced.forall(_.live >= 0)) replaced.map(_.live).sum
+      else table.readConformed(cur, Some(touched)).filter(!col("_deleted")).count()
     table.commit(files, touched, epochId, schemaVer = 1,
       rowDelta = newLive - oldLive, maxLsnSeen = epochId,
       writerId = writerId, batchHash = Some(batchHash),

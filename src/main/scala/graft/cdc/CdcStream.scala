@@ -261,8 +261,12 @@ object CdcStream {
     */
   private def channel(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
+    // Only a MISSING path means cold start. Any other probe failure
+    // (transient FS outage, permissions) must propagate — mapping it to
+    // "empty channel" would tell monitoring "no epochs applied" while the
+    // data is intact, with the error swallowed.
     val exists = try p.getFileSystem(hadoopConf(spark)).exists(p)
-      catch { case _: Exception => false }
+      catch { case _: java.io.FileNotFoundException => false }
     if (exists) spark.read.option("recursiveFileLookup", "true").schema(schema).parquet(dir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -287,8 +291,24 @@ object CdcStream {
     StructField("source_file", StringType), StructField("epoch_id", LongType),
     StructField("snapshot_id", LongType)))
 
+  /** Drop LEGACY layout rows superseded by writer-scoped ones. Channels
+    * written before writer scoping lived at `_channel/eN` with no
+    * writer_id column (read back as null writer_id); a crash-window
+    * replay after the upgrade re-emits the same epoch into
+    * `_channel/<writer>/eN`, so without this filter monitoring would see
+    * the epoch twice (duplicated input_events in any aggregate). A legacy
+    * row survives only while no scoped row exists for its epoch — the
+    * overwrite-by-epoch exactly-once property, restated across layouts.
+    */
+  private def dropSupersededLegacy(df: DataFrame): DataFrame = {
+    val scoped = df.filter(col("writer_id").isNotNull)
+    val legacyLive = df.filter(col("writer_id").isNull)
+      .join(scoped.select(col("epoch_id")).distinct(), Seq("epoch_id"), "left_anti")
+    scoped.unionByName(legacyLive.select(scoped.columns.map(col).toSeq: _*))
+  }
+
   def qc(spark: SparkSession, tableRoot: String): DataFrame =
-    channel(spark, s"$tableRoot/_qc", qcSchema)
+    dropSupersededLegacy(channel(spark, s"$tableRoot/_qc", qcSchema))
 
   private def emitLineage(spark: SparkSession, root: String, wid: String,
       s: BatchStats, sourceFiles: Seq[String]): Unit = {
@@ -301,9 +321,9 @@ object CdcStream {
 
   /** Read back the metrics table (per-batch observability surface). */
   def metrics(spark: SparkSession, tableRoot: String): DataFrame =
-    channel(spark, s"$tableRoot/_metrics", metricsSchema)
+    dropSupersededLegacy(channel(spark, s"$tableRoot/_metrics", metricsSchema))
 
   /** Read back the lineage table: source file → epoch → snapshot. */
   def lineage(spark: SparkSession, tableRoot: String): DataFrame =
-    channel(spark, s"$tableRoot/_lineage", lineageSchema)
+    dropSupersededLegacy(channel(spark, s"$tableRoot/_lineage", lineageSchema))
 }

@@ -44,12 +44,16 @@ object Classifiers {
     val overrideLabel = overrides.foldLeft(lit(null).cast("string")) {
       case (acc, (k, v)) => when(keyCol === k, lit(v)).otherwise(acc)
     }
-    // Case-insensitivity via the (?i) embedded flag, NEVER by lowercasing
+    // Case-insensitivity via the (?iu) embedded flags, NEVER by lowercasing
     // the pattern: lower() on a regex corrupts uppercase metacharacters —
     // \S (non-space) silently inverts to \s, \B to \b, and \p{Upper}
     // becomes the invalid \p{upper}, a runtime PatternSyntaxException.
+    // The u flag matters: Java CASE_INSENSITIVE alone folds ASCII only,
+    // so a rule with non-ASCII letters ("sévère") would silently stop
+    // matching its uppercase form ("SÉVÈRE") — UNICODE_CASE restores the
+    // Unicode folding the old lower()-both-sides approach had.
     val ruleLabel = rules.sortBy(_.priority).foldRight(lit(null).cast("string")) {
-      case (r, acc) => when(textCol.rlike("(?i)" + r.pattern), lit(r.label)).otherwise(acc)
+      case (r, acc) => when(textCol.rlike("(?iu)" + r.pattern), lit(r.label)).otherwise(acc)
     }
     val label = coalesce(overrideLabel, ruleLabel, lit(default))
     val method = when(overrideLabel.isNotNull, lit("override"))

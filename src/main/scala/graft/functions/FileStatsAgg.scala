@@ -49,10 +49,18 @@ case class FileStatsAgg(
     mutable.LongMap.empty
 
   override def update(buf: mutable.LongMap[Array[Long]], input: InternalRow): mutable.LongMap[Array[Long]] = {
-    val k = key.eval(input).asInstanceOf[Long]
-    val a = buf.getOrElseUpdate(k, Array(0L, 0L))
-    a(0) += 1L
-    if (live.eval(input).asInstanceOf[Boolean]) a(1) += 1L
+    // Standard SQL aggregate null semantics: a null key row is ignored
+    // (unguarded unboxing would silently count it toward key 0 — the
+    // internal write-path inputs are non-null, but the registry exposes
+    // graft_file_stats to arbitrary SQL), and a null live flag counts as
+    // not-live.
+    val kRaw = key.eval(input)
+    if (kRaw != null) {
+      val a = buf.getOrElseUpdate(kRaw.asInstanceOf[Long], Array(0L, 0L))
+      a(0) += 1L
+      val l = live.eval(input)
+      if (l != null && l.asInstanceOf[Boolean]) a(1) += 1L
+    }
     buf
   }
 

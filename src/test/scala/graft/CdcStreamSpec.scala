@@ -256,6 +256,34 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(CdcStream.metrics(spark, s"$base/table").columns.contains("events_per_sec"))
   }
 
+  test("legacy (pre-writer-scoping) channel rows are superseded per epoch, kept otherwise") {
+    import spark.implicits._
+    val base = tmp()
+    LakeTable.create(spark, s"$base/table", schemaVer = 1, numBuckets = 4)
+    val root = s"$base/table"
+    // Legacy layout: _metrics/eN parquet with NO writer_id column (as the
+    // pre-scoping release wrote it) for epochs 0 and 1.
+    def legacy(e: Long): Unit =
+      Seq((e, 1L, 100L, 10L, 2, 1, 50L, 10L, 5L, 1.0, 10L, 10L))
+        .toDF("epoch_id", "snapshot_id", "input_events", "deduped_keys",
+          "touched_buckets", "schema_ver", "max_lsn", "live_rows", "duration_ms",
+          "events_per_sec", "observed_rows", "observed_live")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/_metrics/e$e")
+    legacy(0L); legacy(1L)
+    // Post-upgrade crash replay re-emits epoch 0 into the scoped layout.
+    Seq(("w1", 0L, 2L, 100L, 10L, 2, 1, 50L, 10L, 5L, 1.0, 10L, 10L))
+      .toDF("writer_id", "epoch_id", "snapshot_id", "input_events", "deduped_keys",
+        "touched_buckets", "schema_ver", "max_lsn", "live_rows", "duration_ms",
+        "events_per_sec", "observed_rows", "observed_live")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_metrics/w1/e0")
+    val m = CdcStream.metrics(spark, root)
+    // Epoch 0 appears ONCE (scoped row wins); epoch 1's legacy row survives.
+    assert(m.filter($"epoch_id" === 0L).count() == 1L)
+    assert(m.filter($"epoch_id" === 0L && $"writer_id".isNotNull).count() == 1L)
+    assert(m.filter($"epoch_id" === 1L).count() == 1L)
+    assert(m.count() == 2L)
+  }
+
   test("A8 observe: merge metrics ride the write plan and match file stats") {
     val base = tmp()
     val cfg = GenConfig(numConvs = 20, maxTurns = 10, numEvents = 1200)
