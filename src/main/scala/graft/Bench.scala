@@ -50,7 +50,13 @@ object Bench {
     // window (see the sync bullet in BENCH/BASELINE.md).
     if (args.length >= 5 && args(0) == "replay-child-sync") {
       val bw = membwGBs()
-      val ctx = warmedCtx(args(1).toInt, args(2).toInt, args(3))
+      // CHILD_SPUN = heap pre-touched + session up (but not yet warmed):
+      // the parent spawns the sibling only after this, so two 12g
+      // pre-touches never overlap (this host's kernel storms when >~16 GB
+      // of fresh pages fault at once), while the WARM phases still run
+      // concurrently.
+      val ctx = warmedCtx(args(1).toInt, args(2).toInt, args(3),
+        onSpun = () => { println("CHILD_SPUN"); Console.out.flush() })
       println("CHILD_READY"); Console.out.flush()
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
       var done = false
@@ -323,14 +329,22 @@ object Bench {
     def genBatch(b: Int): Unit =
       ChangeGen.eventSlice(spark0, cfg, b * per, math.min(cfg.totalRows, (b + 1) * per))
         .toDF().write.parquet(s"$benchDir/batch-$b")
-    genBatch(0)
+    // Only the small WARM SLICE is generated serially (the children warm
+    // on it); every real batch generates on the background thread under
+    // the children's untimed spin-up/warm umbrella. Serially generating
+    // batch-0 first cost 40-150 s of pure deadline (the whole slice at
+    // the window's speed) for data the timed epochs would not touch for
+    // another two minutes.
+    val warmSliceEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_EVENTS", "3000000").toLong
+    ChangeGen.eventSlice(spark0, cfg, 0, math.min(cfg.totalRows, warmSliceEvents))
+      .toDF().write.parquet(s"$benchDir/warm-src")
     @volatile var genError: Option[Throwable] = None
     val genThread = new Thread(() => {
       try {
         // bind the parent session to this thread (getOrCreate-style
         // thread-local binding; see Sessions.local)
         SparkSession.setActiveSession(spark0)
-        (1 until nBatches).foreach(genBatch)
+        (0 until nBatches).foreach(genBatch)
       } catch { case e: Throwable => genError = Some(e) }
     }, "graft-bench-gen")
     genThread.setDaemon(true)
@@ -491,13 +505,29 @@ object Bench {
       val epochTimeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SYNC_EPOCH_SEC", "240").toDouble
       var spawned = List.empty[SyncChild]
       try {
+        // Both children WARM concurrently — all untimed work, and
+        // serializing it (~135 s: spawn+warm+spawn+warm) was costing 1-2
+        // measurement pairs per round. The sibling spawns only after
+        // CHILD_SPUN (heap pre-touched + session up), so the two 12g heap
+        // PRE-TOUCHES never overlap — this host's kernel storms when
+        // >~16 GB of fresh pages fault at once (see build.sbt), and a
+        // fixed 20 s stagger proved insufficient in a degraded window
+        // (the first child's spin ran past it and the overlapping touches
+        // stalled it beyond the ready timeout). The warms themselves may
+        // contend, which the near-best steady-state rule tolerates (and
+        // the 32-core gen thread already overlaps them regardless).
         val a = new SyncChild(smallCores, round); spawned ::= a
+        require(a.await("CHILD_SPUN", readyTimeoutSec).isDefined, s"N child not spun")
+        val b = new SyncChild(bigCores, round); spawned ::= b
+        // b's CHILD_SPUN must be drained (await hands lines out in order).
+        require(b.await("CHILD_SPUN", readyTimeoutSec).isDefined, s"4N child not spun")
         require(a.await("CHILD_READY", readyTimeoutSec).isDefined, s"N child not ready")
         val warmA = a.busySec
-        val b = new SyncChild(bigCores, round); spawned ::= b
         require(b.await("CHILD_READY", readyTimeoutSec).isDefined, s"4N child not ready")
-        val warmB = b.busySec // staggered: b spawned after a's READY, so
-                              // its clock covers only its own spin+warm
+        val warmB = b.busySec // per-child clock from its own spawn; under
+                              // concurrent warm it includes idle wait, so
+                              // it over-counts busy wall (conservative for
+                              // the round-cost estimator)
         genJoin() // all batches on disk before the first TIMED epoch; the
                   // background generation overlapped both untimed warms
         val eps = Array(a, b).map(_ => Vector.newBuilder[(Double, Double, Double, Double)])
@@ -1128,9 +1158,11 @@ object Bench {
     (st.durationMs / 1000.0, stolenCoreSec, dSy.toDouble / dUs, gcSec)
   }
 
-  private def warmedCtx(cores: Int, round: Int, benchDir: String): ReplayCtx = {
+  private def warmedCtx(cores: Int, round: Int, benchDir: String,
+      onSpun: () => Unit = () => ()): ReplayCtx = {
     val s = Sessions.local(cores, appName = s"graft-replay-$cores-r$round", tmpfsShuffle = true)
     s.sparkContext.setLogLevel("WARN")
+    onSpun()
     val root = s"$benchDir/table-$cores-r$round"
     val table = LakeTable.create(s, root, schemaVer = 1, numBuckets = 64)
     // STEADY-STATE warmup: replay a slice of the first batch into
@@ -1143,16 +1175,26 @@ object Bench {
     // stop once a pass improves on the previous one by less than 12%,
     // bounded by a pass cap and a wall cap.
     val warmEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_EVENTS", "3000000").toInt
-    val warmMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_MAX", "4").toInt
+    val warmMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_MAX", "6").toInt
     val warmCapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_CAP_SEC", "120").toDouble
-    // The slice is a seeded SAMPLE, not a limit: a global limit collapses
+    // Preferred warm input: the dedicated warm slice the parent generates
+    // FIRST (so children spawn before any real batch exists — the real
+    // batches generate in the background under this warm). Fallback for
+    // standalone replay-child runs without one: a seeded SAMPLE of
+    // batch-0 — a sample, not a limit, because a global limit collapses
     // the scan to one partition, so the warm passes would compile the
     // codegen but exercise a serial plan the timed epochs never run.
-    val batch0 = s.read.parquet(s"$benchDir/batch-0")
-    val warmFrac = math.min(1.0, warmEvents.toDouble / math.max(1L, batch0.count()))
-    val warmSrc = if (warmFrac >= 1.0) batch0
-      else batch0.sample(withReplacement = false, warmFrac, 42L)
+    val warmPath = new java.io.File(s"$benchDir/warm-src")
+    val (warmSrc, batch0) = if (warmPath.isDirectory) {
+      val w = s.read.parquet(warmPath.toString)
+      (w, w) // schema source only; all slices share the generator schema
+    } else {
+      val b0 = s.read.parquet(s"$benchDir/batch-0")
+      val warmFrac = math.min(1.0, warmEvents.toDouble / math.max(1L, b0.count()))
+      (if (warmFrac >= 1.0) b0 else b0.sample(withReplacement = false, warmFrac, 42L), b0)
+    }
     var warmPrev = Double.MaxValue
+    var warmMin = Double.MaxValue
     var warmTotal = 0.0
     var w = 0
     var warmStable = false
@@ -1163,8 +1205,18 @@ object Bench {
       MergeApply.applyBatch(warmTable, warmSrc, -1L)
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] cores=$cores round=$round warm pass $w: $sec%.2fs")
-      warmStable = w >= 1 && sec > warmPrev * 0.88
+      // Stable = no longer improving AND near the best pass seen. The
+      // second clause matters under CONCURRENT warm-up (children warm in
+      // parallel since the sync protocol): a pass inflated by the
+      // sibling's warm contention (observed 3.3 s -> 7.2 s) reads as "no
+      // improvement" to the first clause alone, the child declares ready
+      // under-warmed, and its first timed epoch runs ~2x slow with zero
+      // steal — a fake quotient (a 0.47 pair was measured from exactly
+      // this). A contended pass fails the near-best clause, so warming
+      // continues until the contention passes or the pass/wall caps hit.
+      warmStable = w >= 1 && sec > warmPrev * 0.88 && sec <= warmMin * 1.3
       warmPrev = sec
+      warmMin = math.min(warmMin, sec)
       warmTotal += sec
       w += 1
     }

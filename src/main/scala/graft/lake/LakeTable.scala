@@ -995,6 +995,14 @@ object LakeTable {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = new Path(rootPath, "_meta")
+    // Re-creating over an existing table must start METADATA-fresh:
+    // resetting `_current` to snap-0 while a stale snap-1.json survives
+    // from the previous incarnation would deadlock the next commit — its
+    // create-exclusive claim of id 1 always loses to the stale file and
+    // `_current` never advances (observed when a bench child was killed
+    // and its table path reused). Old DATA files are left in place:
+    // snap-0 references none of them, so they are merely orphans.
+    if (fs.exists(metaDir)) fs.delete(metaDir, true)
     fs.mkdirs(metaDir)
     val snap = Snapshot(0L, -1L, -1L, schemaVer, numBuckets, 0L, -1L, Nil)
     val t = new LakeTable(spark, root, registry, keyCols)

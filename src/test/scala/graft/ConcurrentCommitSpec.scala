@@ -139,4 +139,22 @@ class ConcurrentCommitSpec extends AnyFunSuite {
       assert(ex.getMessage.contains("claimed"))
     } finally sys.props.remove("graft.lake.claimWaitMs")
   }
+
+  test("re-creating a table over an existing one starts metadata-fresh " +
+      "(stale snapshot claims cannot deadlock the next commit)") {
+    val root = tmp()
+    val t1 = LakeTable.create(spark, root, schemaVer = 1, numBuckets = 8)
+    assert(t1.commit(Seq(fe(0, "old")), Set(0), 0L, 1, 1L, 1L, writerId = "w1").applied)
+    assert(t1.commit(Seq(fe(1, "old")), Set(1), 1L, 1, 1L, 2L, writerId = "w1").applied)
+    // Re-create: the previous incarnation's snap-1/snap-2 manifests must
+    // not survive — a fresh table's first commit claims id 1, and a stale
+    // snap-1.json would make that claim lose forever (observed deadlock
+    // when a killed bench child's table path was reused).
+    val t2 = LakeTable.create(spark, root, schemaVer = 1, numBuckets = 8)
+    assert(t2.current.id == 0L && t2.current.files.isEmpty)
+    assert(t2.current.writerEpochs.isEmpty) // w1's fence is gone too
+    val res = t2.commit(Seq(fe(2, "new")), Set(2), 0L, 1, 1L, 1L, writerId = "w2")
+    assert(res.applied && res.snapshot.id == 1L)
+    assert(t2.current.files.map(_.bucket) == Seq(2))
+  }
 }
