@@ -55,9 +55,14 @@ object Bench {
       // pre-touches never overlap (this host's kernel storms when >~16 GB
       // of fresh pages fault at once), while the WARM phases still run
       // concurrently.
-      val ctx = warmedCtx(args(1).toInt, args(2).toInt, args(3),
-        onSpun = () => { println("CHILD_SPUN"); Console.out.flush() })
-      println("CHILD_READY"); Console.out.flush()
+      var tSpun = System.nanoTime()
+      val (ctx, warmOnce) = warmedCtx(args(1).toInt, args(2).toInt, args(3),
+        onSpun = () => { tSpun = System.nanoTime(); println("CHILD_SPUN"); Console.out.flush() })
+      // warmSec = the WARM-only wall (spun -> ready), i.e. the portion
+      // that overlaps the sibling's warm — the parent's round-cost
+      // estimator subtracts the shorter of the two from its serial sum.
+      println(f"CHILD_READY warmSec=${(System.nanoTime() - tSpun) / 1e9}%.1f")
+      Console.out.flush()
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
       var done = false
       while (!done) {
@@ -76,6 +81,27 @@ object Bench {
           // never overlaps the sibling child's timed epoch.
           System.gc()
           println("CHILD_QUIESCED"); Console.out.flush()
+        } else if (cmd.trim == "SETTLE") {
+          // UNCONTENDED re-stabilization, parent-serialized (the sibling
+          // is idle and generation is done). The concurrent warm phase
+          // cannot distinguish "every pass contended" from steady state —
+          // its warmMin may itself be contention-inflated, accepting an
+          // under-warmed child whose first timed epoch runs ~2x slow with
+          // zero steal (a fake 0.47 pair was measured from exactly that).
+          // Up to 3 clean passes here drain any residual C2 queue and
+          // confirm the real steady state before the first timed epoch.
+          var prev = Double.MaxValue
+          var last = 0.0
+          var n = 0
+          var stable = false
+          while (n < 4 && !stable) {
+            last = warmOnce()
+            stable = last > prev * 0.88
+            prev = last
+            n += 1
+          }
+          println(f"CHILD_SETTLED n=$n sec=$last%.2f")
+          Console.out.flush()
         }
       }
       ctx.s.stop()
@@ -207,7 +233,7 @@ object Bench {
 
     try {
       runReplayProtocol(spark, sfDir, cpus, nBatches, rounds, smallCores, bigCores,
-        remainingSec _, totalQuery, qs, queryTimes, qPass1Sec, partial, emit)
+        () => remainingSec, totalQuery, qs, queryTimes, qPass1Sec, partial, emit)
     } catch {
       case e: Throwable =>
         // Partial evidence beats none: keep whatever the protocol recorded
@@ -316,12 +342,12 @@ object Bench {
       f"peak=${peakCostSec(benchEvents)}%.0fs)")
 
     // ---- 2. generate the change log once as files ----
-    // Batch 0 is written SERIALLY (the children's warmup reads it); the
-    // remaining batches generate on a background thread that OVERLAPS the
-    // sync children's untimed spin-up + warm phases (~60-90 s) — the
+    // Only a small WARM SLICE is written serially (the children's warmup
+    // reads it); EVERY real batch generates on a background thread that
+    // OVERLAPS the sync children's untimed spin-up + warm phases — the
     // contention lands only on untimed work, and the first timed epoch
     // waits on genJoin() below. Generation is the protocol's single
-    // biggest fixed cost (~120 s for 32M events), so hiding 60-70% of it
+    // biggest fixed cost (~120 s for 32M events), so hiding most of it
     // buys 1-2 extra measurement pairs per round.
     val cfg = GenConfig(numEvents = benchEvents, numConvs = 5000, maxTurns = 40)
     val benchDir = Files.createTempDirectory("graft-bench-").toString
@@ -438,7 +464,8 @@ object Bench {
     }
     val minRounds = math.min(2, rounds)
     final case class Run(cores: Int, round: Int, secs: Seq[Double], steals: Seq[Double],
-        sysu: Seq[Double], gcs: Seq[Double], membw: Double, rows: Long, wall: Double) {
+        sysu: Seq[Double], gcs: Seq[Double], membw: Double, rows: Long, wall: Double,
+        warmSec: Double = 0.0) {
       def clean: Boolean = steals.forall(_ <= stealCleanSec) &&
         sysu.forall(_ <= sysUserCleanRatio)
       def stalled: Boolean = secs.max > epochStallFactor * medianOf(secs)
@@ -456,11 +483,13 @@ object Bench {
     // interleaving cannot fix window-scale drift when the budget fits only
     // one round — observed: an entire N child running in a degraded window
     // minutes before a clean 4N child read 1.13 superlinear off medians.
-    // Warmups are staggered (the 4N child spawns only after the N child
-    // reports ready) so steady-state detection never runs contended, and
-    // the inter-epoch GC quiesce is parent-orchestrated so it never
-    // overlaps the sibling's timed epoch. Falls back to the sequential
-    // protocol on any handshake failure or timeout.
+    // Warmups run CONCURRENTLY (only the heap pre-touches are staggered,
+    // on the CHILD_SPUN handshake); post-READY the parent serializes one
+    // uncontended SETTLE re-stabilization per child so steady-state
+    // detection never concludes on contended passes, and the inter-epoch
+    // GC quiesce is parent-orchestrated so it never overlaps the
+    // sibling's timed epoch. Falls back to the sequential protocol on any
+    // handshake failure or timeout.
     final class SyncChild(cores: Int, round: Int) {
       import scala.jdk.CollectionConverters._
       private val t0 = System.nanoTime()
@@ -468,6 +497,14 @@ object Bench {
         val pb = new ProcessBuilder(childJvmCmd(Seq("replay-child-sync", cores.toString,
           round.toString, benchDir, nBatches.toString), cores).asJava)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        // Budget-scaled warm cap: in a degraded window the default 120 s
+        // per-child warm can blow the whole deadline before the first
+        // timed epoch (the warms run concurrently but a 79 s first pass
+        // was measured); the serialized settle pass provides the
+        // steady-state guarantee, so a tighter warm costs honesty nothing.
+        if (!sys.env.contains("SPARK_GRAFT_BENCH_WARM_CAP_SEC"))
+          pb.environment().put("SPARK_GRAFT_BENCH_WARM_CAP_SEC",
+            math.max(25.0, math.min(120.0, remainingSec() * 0.25)).toString)
         pb.start()
       }
       private val lines = new java.util.concurrent.LinkedBlockingQueue[String]()
@@ -521,15 +558,45 @@ object Bench {
         val b = new SyncChild(bigCores, round); spawned ::= b
         // b's CHILD_SPUN must be drained (await hands lines out in order).
         require(b.await("CHILD_SPUN", readyTimeoutSec).isDefined, s"4N child not spun")
-        require(a.await("CHILD_READY", readyTimeoutSec).isDefined, s"N child not ready")
-        val warmA = a.busySec
-        require(b.await("CHILD_READY", readyTimeoutSec).isDefined, s"4N child not ready")
-        val warmB = b.busySec // per-child clock from its own spawn; under
-                              // concurrent warm it includes idle wait, so
-                              // it over-counts busy wall (conservative for
-                              // the round-cost estimator)
+        // warmSec on the READY line is the child's own warm-only wall
+        // (spun -> ready) — the overlappable portion; the parent-clock
+        // fallback over-counts it with queue-drain wait (conservative).
+        def readyWarm(c: SyncChild, label: String): Double = {
+          val l = c.await("CHILD_READY", readyTimeoutSec)
+          require(l.isDefined, s"$label child not ready")
+          parseKv(l.get).get("warmSec").map(_.toDouble).getOrElse(c.busySec)
+        }
+        val warmA = readyWarm(a, "N")
+        val warmB = readyWarm(b, "4N")
         genJoin() // all batches on disk before the first TIMED epoch; the
                   // background generation overlapped both untimed warms
+        // Post-READY settle passes, SERIALIZED (sibling idle, generation
+        // done, so the passes are uncontended): the concurrent warm phase
+        // alone cannot tell "every pass contended" from steady state —
+        // see the SETTLE handler. Their wall is serial round cost, so it
+        // rides in the Run wall alongside the epochs.
+        def settle(c: SyncChild, label: String): Double = {
+          c.send("SETTLE")
+          val l = c.await("CHILD_SETTLED", epochTimeoutSec)
+          require(l.isDefined, s"$label child settle timed out")
+          val kv = parseKv(l.get)
+          System.err.println(s"[bench] $label child settled: n=${kv.getOrElse("n", "?")} " +
+            s"lastPass=${kv.getOrElse("sec", "?")}s")
+          kv.get("sec").map(_.toDouble).getOrElse(0.0)
+        }
+        // Skip when the deadline is already blown (degraded windows can
+        // inflate catalog+warm past the whole budget before the first
+        // epoch): at that point the priority is landing ANY pair before
+        // the driver's hard kill, and a settle-less pair is at worst
+        // labeled suspect by the plausibility gate.
+        val settleSec = if (remainingSec() > 0) {
+          val settleWall0 = System.nanoTime()
+          settle(a, "N"); settle(b, "4N")
+          (System.nanoTime() - settleWall0) / 1e9
+        } else {
+          System.err.println(f"[bench] skipping settle passes (remaining=${remainingSec()}%.0fs)")
+          0.0
+        }
         val eps = Array(a, b).map(_ => Vector.newBuilder[(Double, Double, Double, Double)])
         val perEpochEvents = cfg.totalRows.toDouble / nBatches
         var measuredN = Vector.empty[Double]
@@ -553,7 +620,12 @@ object Bench {
               f"pairs (remaining=${remainingSec()}%.0fs < pair=${nextPairCost}%.0fs)")
             stopped = true
           } else {
-            Seq(a, b).zipWithIndex.foreach { case (c, i) =>
+            // ABBA within-pair ordering: whichever side runs FIRST after a
+            // quiesce (or right after generation finished) absorbs any
+            // residual host churn; alternating the order per pair makes
+            // that exposure symmetric across the round's median.
+            val order = if (e % 2 == 0) Seq((a, 0), (b, 1)) else Seq((b, 1), (a, 0))
+            order.foreach { case (c, i) =>
               c.send(s"GO $e")
               val line = c.await("CHILD_EPOCH", epochTimeoutSec)
               require(line.isDefined, s"epoch $e timed out on child ${c.proc.pid()}")
@@ -595,14 +667,17 @@ object Bench {
           c.proc.waitFor()
           (kv("rows").toLong, kv("membw").toDouble)
         }
-        // Per-child busy wall (spin-up + warm + its own epochs), used by
-        // the round-cost and peak-cost estimators: the children are alive
-        // for the whole round but only busy for their own slices.
+        // Per-child busy wall (warm + half the serialized settle + its own
+        // epochs), used by the round-cost and peak-cost estimators: the
+        // children are alive for the whole round but only busy for their
+        // own slices. warmSec rides separately so the estimator can
+        // subtract the OVERLAPPED (shorter) warm from its serial sum.
         Seq((a, 0, warmA), (b, 1, warmB)).foreach { case (c, i, warm) =>
           val m = eps(i).result()
           val cores = if (i == 0) smallCores else bigCores
           val run = Run(cores, round, m.map(_._1), m.map(_._2), m.map(_._3), m.map(_._4),
-            results(i)._2, results(i)._1, warm + m.map(_._1).sum)
+            results(i)._2, results(i)._1, warm + settleSec / 2 + m.map(_._1).sum,
+            warmSec = warm)
           if (run.stalled)
             System.err.println(f"[bench] cores=$cores round=$round epoch-stall: " +
               f"max=${run.secs.max}%.1fs median=${medianOf(run.secs)}%.1fs — excluded from sound pool")
@@ -617,14 +692,21 @@ object Bench {
           false
       } finally spawned.foreach(_.destroy())
     }
-    // Cost of another round, from the MEASURED total child walls (spin-up
-    // + warmup + epochs, process start to exit) of the rounds already run.
+    // Cost of another round, from the MEASURED per-child busy walls of the
+    // rounds already run. In a sync round the two children's warm phases
+    // OVERLAP — only the slower warm contributes to the round wall — so
+    // subtract the shorter warm from the naive per-side sum (sequential
+    // runs carry warmSec=0 and degrade to the conservative plain sum).
     def measuredRoundCost: Double =
       if (runs.isEmpty) roundCostSec(cfg.totalRows)
-      else Seq(smallCores, bigCores).map { c =>
-        val of = runs.filter(_.cores == c)
-        if (of.isEmpty) cfg.totalRows / epsN + spinUp else of.map(_.wall).min
-      }.sum
+      else {
+        val picked = Seq(smallCores, bigCores).map { c =>
+          val of = runs.filter(_.cores == c)
+          if (of.isEmpty) (cfg.totalRows / epsN + spinUp, 0.0)
+          else { val m = of.minBy(_.wall); (m.wall, m.warmSec) }
+        }
+        picked.map(_._1).sum - picked.map(_._2).min
+      }
     var r = 0
     var budgetStop = false
     while (r < rounds && !budgetStop &&
@@ -883,8 +965,20 @@ object Bench {
         // only epochs BOTH sides ran can pair.
         val completed = math.min(n.secs.size, b.secs.size)
         val good = (0 until completed).filter { e =>
-          n.steals(e) <= stealCleanSec && n.sysu(e) <= sysUserCleanRatio &&
+          val counters = n.steals(e) <= stealCleanSec && n.sysu(e) <= sysUserCleanRatio &&
             b.steals(e) <= stealCleanSec && b.sysu(e) <= sysUserCleanRatio
+          // PLAUSIBILITY: a pair whose quotient implies efficiency beyond
+          // the core ratio (+5% margin) is physically impossible for this
+          // engine — same socket, shared LLC, the narrow side has MORE
+          // cache per thread — so it is a sub-counter N-side stall, not a
+          // measurement. Dropping it biases the median DOWN (conservative
+          // for the ≥0.8 gate), exactly like a counter-dirty pair.
+          val plausible =
+            n.secs(e) / b.secs(e) <= (bigCores.toDouble / smallCores) * 1.05
+          if (counters && !plausible)
+            System.err.println(f"[bench] round $i pair $e dropped as " +
+              f"superlinear-impossible (N=${n.secs(e)}%.2fs / 4N=${b.secs(e)}%.2fs)")
+          counters && plausible
         }
         // Demand a majority of the COMPLETED pairs clean (a lone clean
         // pair from a full round is too easy to land on a dirty host),
@@ -925,7 +1019,7 @@ object Bench {
     //      round: median composition — both explicitly labeled dirty
     val roundsSound = soundRounds(smallCores) > 0 && soundRounds(bigCores) > 0
     val roundsDirty = cleanRounds(smallCores) == 0 || cleanRounds(bigCores) == 0
-    val (tSmall, tBig, efficiency, headlineSource) = syncPair match {
+    val (tSmall, tBig, efficiency, headlineSource0) = syncPair match {
       case Some((pn, p4)) =>
         (nBatches * pn, nBatches * p4, (pn / p4) / ratio, "sync_epoch_pair_median")
       case None =>
@@ -943,7 +1037,17 @@ object Bench {
           } else (tSmallMed, tBigMed, effMed, "dirty_epoch_median")
       }
     }
-    val headlineEvents = if (headlineSource == "clean_probe") probeCfg.totalRows else cfg.totalRows
+    // A final efficiency beyond the core ratio (+5%) cannot be the engine
+    // (see the pair plausibility filter); when every pair of a truncated
+    // round was impossible the fallback compositions reuse the same
+    // stalled epochs, so the label must say so rather than present a
+    // fake-superlinear number as gate evidence.
+    val headlineSource =
+      if (efficiency > 1.05) headlineSource0 + "_superlinear_suspect" else headlineSource0
+    if (efficiency > 1.05)
+      System.err.println(f"[bench] headline efficiency $efficiency%.3f exceeds the " +
+        "core ratio — physically impossible, labeling the run suspect")
+    val headlineEvents = if (headlineSource0 == "clean_probe") probeCfg.totalRows else cfg.totalRows
     val (epsSmall, epsBig) = (headlineEvents / tSmall, headlineEvents / tBig)
     val speedup = tSmall / tBig
 
@@ -1110,7 +1214,7 @@ object Bench {
 
   private def replayInProcess(cores: Int, round: Int, benchDir: String,
       nBatches: Int): (Seq[Double], Seq[Double], Seq[Double], Seq[Double], Long) = {
-    val ctx = warmedCtx(cores, round, benchDir)
+    val (ctx, _) = warmedCtx(cores, round, benchDir)
     val measured = (0 until nBatches).map { b =>
       // Untimed inter-epoch quiesce (JMH-style): flush the previous
       // epoch's GC debt so a collection does not land mid-measurement —
@@ -1158,8 +1262,12 @@ object Bench {
     (st.durationMs / 1000.0, stolenCoreSec, dSy.toDouble / dUs, gcSec)
   }
 
+  /** Returns the warmed context plus a `warmOnce` closure that runs ONE
+    * more warm pass against a fresh throwaway table — the sync protocol's
+    * post-READY settle passes reuse it (see the SETTLE command).
+    */
   private def warmedCtx(cores: Int, round: Int, benchDir: String,
-      onSpun: () => Unit = () => ()): ReplayCtx = {
+      onSpun: () => Unit = () => ()): (ReplayCtx, () => Double) = {
     val s = Sessions.local(cores, appName = s"graft-replay-$cores-r$round", tmpfsShuffle = true)
     s.sparkContext.setLogLevel("WARN")
     onSpun()
@@ -1198,13 +1306,18 @@ object Bench {
     var warmTotal = 0.0
     var w = 0
     var warmStable = false
-    while (w < warmMax && !warmStable && warmTotal < warmCapSec) {
+    def warmOnce(): Double = {
       val warmTable = LakeTable.create(s, s"$benchDir/warm-$cores-r$round-$w",
         schemaVer = 1, numBuckets = 64)
       val t0 = System.nanoTime()
       MergeApply.applyBatch(warmTable, warmSrc, -1L)
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] cores=$cores round=$round warm pass $w: $sec%.2fs")
+      w += 1
+      sec
+    }
+    while (w < warmMax && !warmStable && warmTotal < warmCapSec) {
+      val sec = warmOnce()
       // Stable = no longer improving AND near the best pass seen. The
       // second clause matters under CONCURRENT warm-up (children warm in
       // parallel since the sync protocol): a pass inflated by the
@@ -1214,13 +1327,16 @@ object Bench {
       // steal — a fake quotient (a 0.47 pair was measured from exactly
       // this). A contended pass fails the near-best clause, so warming
       // continues until the contention passes or the pass/wall caps hit.
-      warmStable = w >= 1 && sec > warmPrev * 0.88 && sec <= warmMin * 1.3
+      // NOTE this phase cannot distinguish "every pass contended" from
+      // true steady state (warmMin itself may be inflated); the sync
+      // protocol closes that hole with UNCONTENDED post-READY settle
+      // passes (SETTLE command), which the parent serializes.
+      warmStable = w >= 2 && sec > warmPrev * 0.88 && sec <= warmMin * 1.3
       warmPrev = sec
       warmMin = math.min(warmMin, sec)
       warmTotal += sec
-      w += 1
     }
-    ReplayCtx(s, table, benchDir, cores, round, batch0.schema)
+    (ReplayCtx(s, table, benchDir, cores, round, batch0.schema), () => warmOnce())
   }
 
   /** Replace BENCH/BASELINE.md's catalog-total row and per-query table
@@ -1260,41 +1376,72 @@ object Bench {
       headlineSource: String, headlineEvents: Long,
       probe: Option[(Long, Double, Double, Double)],
       epochStats: (Double, Double, Double, Double), effEpochMin: Double): Unit = {
+    val prevDoc = {
+      val p = Paths.get("BENCH/BASELINE.md")
+      if (Files.exists(p)) Files.readString(p) else ""
+    }
     val md = new StringBuilder
     md ++= "# BENCH — measured engine numbers\n\n"
     md ++= "Headline metric (north rule): change-events/sec sustained merge-apply\n"
     md ++= "throughput on CDC replay into the snapshot-committed transcript table,\n"
     md ++= "same job + same input at two parallelism levels (the sandbox stand-in\n"
     md ++= "for N vs 4N executors; single host, local[N] threads).\n\n"
-    md ++= "| quantity | value |\n|---|---|\n"
-    md ++= f"| replayed change events (interleaved rounds) | $events%,d (in $batches micro-batches) |\n"
-    md ++= f"| headline measurement | $headlineSource ($headlineEvents%,d events) |\n"
-    md ++= f"| N = $n cores: wall / throughput | $tN%.2f s / $epsN%,.0f events/s |\n"
-    md ++= f"| 4N = $n4 cores: wall / throughput | $t4N%.2f s / $eps4N%,.0f events/s |\n"
-    md ++= f"| speedup N→4N | $speedup%.2f× |\n"
-    md ++= f"| **scaling efficiency (speedup/4, target ≥0.8)** | **$eff%.3f** |\n"
-    md ++= f"| full-size walls, best (N / 4N) | $tNBest%.2f s / $t4NBest%.2f s → eff $effBest%.3f |\n"
-    md ++= f"| full-size walls, noise-floor (N / 4N, composed) | $tNFloor%.2f s / $t4NFloor%.2f s → eff $effFloor%.3f |\n"
-    md ++= f"| rounds run / steal-clean rounds (N, 4N) | $roundsRun / ($cleanN, $clean4N) at ≤$stealCleanSec%.0f stolen core-s per epoch |\n"
-    md ++= f"| per-epoch wall, best round (N / 4N, $batches epochs) | ${epochStats._1}%.2f ± ${epochStats._2}%.2f s / ${epochStats._3}%.2f ± ${epochStats._4}%.2f s |\n"
-    md ++= f"| conservative within-round composition ($batches × best epoch each side) | eff $effEpochMin%.3f |\n"
-    probe.foreach { case (pEvents, pN, p4N, pEff) =>
-      md ++= f"| steal-clean short-probe walls (N / 4N, $pEvents%,d events) | $pN%.2f s / $p4N%.2f s → eff $pEff%.3f |\n"
+    // A suspect (physically impossible) quotient is host noise, not engine
+    // evidence — it must not REPLACE a prior plausible headline block. The
+    // suspect run still appends its run-history row and (when measured)
+    // refreshes the catalog numbers.
+    val prevTable = {
+      val s = prevDoc.indexOf("| quantity | value |")
+      val e = if (s < 0) -1 else prevDoc.indexOf("\nMethodology", s)
+      if (s >= 0 && e > s) {
+        // Strip any prior retention note so repeated suspect runs do not
+        // stack one note per run — this run re-emits a single fresh one.
+        val raw = prevDoc.substring(s, e)
+        val cut = raw.indexOf("(Headline retained")
+        Some((if (cut >= 0) raw.take(cut) else raw).strip)
+      } else None
     }
-    md ++= f"| peak throughput at $peakCores cores | $epsPeak%,.0f events/s |\n"
-    md ++= f"| reference honesty baseline (BASELINE.md) | 12,000 records/s single node |\n"
-    if (queryTimes.isEmpty) {
-      // replay-only pass: carry the prior run's catalog-total row forward
-      val prior = {
-        val p = Paths.get("BENCH/BASELINE.md")
-        if (Files.exists(p))
-          Files.readString(p).linesIterator.find(_.startsWith("| operator catalog total ("))
-        else None
+    val retainPrior = headlineSource.contains("_superlinear_suspect") &&
+      prevTable.exists(t => !t.contains("suspect"))
+    if (retainPrior) {
+      val retained =
+        if (queryTimes.isEmpty) prevTable.get
+        else prevTable.get.linesIterator.map { l =>
+          if (l.startsWith("| operator catalog total"))
+            f"| operator catalog total (sf0.1, ${queryTimes.size} queries) | $totalQuery%.1f s |"
+          else l
+        }.mkString("\n")
+      md ++= retained + "\n\n"
+      md ++= f"(Headline retained from the prior run: this run's quotient read\n"
+      md ++= f"$eff%.3f — beyond the core ratio, physically impossible, so it is\n"
+      md ++= "a sub-counter host stall on the narrow side, recorded in the run\n"
+      md ++= "history below but not presented as gate evidence.)\n\n"
+    } else {
+      md ++= "| quantity | value |\n|---|---|\n"
+      md ++= f"| replayed change events (interleaved rounds) | $events%,d (in $batches micro-batches) |\n"
+      md ++= f"| headline measurement | $headlineSource ($headlineEvents%,d events) |\n"
+      md ++= f"| N = $n cores: wall / throughput | $tN%.2f s / $epsN%,.0f events/s |\n"
+      md ++= f"| 4N = $n4 cores: wall / throughput | $t4N%.2f s / $eps4N%,.0f events/s |\n"
+      md ++= f"| speedup N→4N | $speedup%.2f× |\n"
+      md ++= f"| **scaling efficiency (speedup/4, target ≥0.8)** | **$eff%.3f** |\n"
+      md ++= f"| full-size walls, best (N / 4N) | $tNBest%.2f s / $t4NBest%.2f s → eff $effBest%.3f |\n"
+      md ++= f"| full-size walls, noise-floor (N / 4N, composed) | $tNFloor%.2f s / $t4NFloor%.2f s → eff $effFloor%.3f |\n"
+      md ++= f"| rounds run / steal-clean rounds (N, 4N) | $roundsRun / ($cleanN, $clean4N) at ≤$stealCleanSec%.0f stolen core-s per epoch |\n"
+      md ++= f"| per-epoch wall, best round (N / 4N, $batches epochs) | ${epochStats._1}%.2f ± ${epochStats._2}%.2f s / ${epochStats._3}%.2f ± ${epochStats._4}%.2f s |\n"
+      md ++= f"| conservative within-round composition ($batches × best epoch each side) | eff $effEpochMin%.3f |\n"
+      probe.foreach { case (pEvents, pN, p4N, pEff) =>
+        md ++= f"| steal-clean short-probe walls (N / 4N, $pEvents%,d events) | $pN%.2f s / $p4N%.2f s → eff $pEff%.3f |\n"
       }
-      md ++= prior.getOrElse("| operator catalog total | not run this pass (table below is the prior run) |")
-      md ++= "\n\n"
-    } else
-      md ++= f"| operator catalog total (sf0.1, ${queryTimes.size} queries) | $totalQuery%.1f s |\n\n"
+      md ++= f"| peak throughput at $peakCores cores | $epsPeak%,.0f events/s |\n"
+      md ++= f"| reference honesty baseline (BASELINE.md) | 12,000 records/s single node |\n"
+      if (queryTimes.isEmpty) {
+        // replay-only pass: carry the prior run's catalog-total row forward
+        val prior = prevDoc.linesIterator.find(_.startsWith("| operator catalog total ("))
+        md ++= prior.getOrElse("| operator catalog total | not run this pass (table below is the prior run) |")
+        md ++= "\n\n"
+      } else
+        md ++= f"| operator catalog total (sf0.1, ${queryTimes.size} queries) | $totalQuery%.1f s |\n\n"
+    }
     md ++= "Methodology & host caveats:\n\n"
     md ++= "- The WHOLE protocol runs inside a wall-clock deadline\n"
     md ++= "  (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 480 s): replay event\n"
@@ -1332,7 +1479,15 @@ object Bench {
     md ++= "  quotient read as fake superlinear scaling (a measured 1.23 was\n"
     md ++= "  discarded for exactly this). Child JVMs pin CICompilerCount=4 so\n"
     md ++= "  the compile queue drains during warmup; task threads stay capped\n"
-    md ++= "  at local[N] and GC threads at ActiveProcessorCount=N.\n"
+    md ++= "  at local[N] and GC threads at ActiveProcessorCount=N. In the\n"
+    md ++= "  sync protocol the two children's warms run CONCURRENTLY (only\n"
+    md ++= "  the 12g heap pre-touches are staggered, on a CHILD_SPUN\n"
+    md ++= "  handshake — >~16 GB of fresh pages faulting at once storms this\n"
+    md ++= "  host's kernel); since a fully-contended warm cannot be told\n"
+    md ++= "  apart from steady state, the parent then SERIALIZES one\n"
+    md ++= "  uncontended settle re-stabilization per child (up to 4 clean\n"
+    md ++= "  passes, skipped only when the deadline is already blown) before\n"
+    md ++= "  the first timed epoch.\n"
     md ++= "- Replay volume is sized to the remaining budget using an assumed\n"
     md ++= "  N-rate scaled by the CATALOG pass's wall vs its healthy-window\n"
     md ++= "  reference (~100 s of real Spark work in this process — the\n"
@@ -1395,15 +1550,26 @@ object Bench {
     md ++= "  read 1.13 superlinear. The default protocol therefore\n"
     md ++= "  interleaves at EPOCH level (SPARK_GRAFT_BENCH_SYNC=0 reverts):\n"
     md ++= "  both children stay alive and the parent alternates GO commands\n"
-    md ++= "  (N epoch b, then 4N epoch b), so each quotient pair lands in\n"
-    md ++= "  the same host window. Warmups are staggered (never contended),\n"
-    md ++= "  the GC quiesce is parent-orchestrated so it cannot overlap the\n"
-    md ++= "  sibling's timed epoch, counter-dirty pairs are dropped, and the\n"
+    md ++= "  (N epoch b, then 4N epoch b — ABBA-ordered across pairs, so\n"
+    md ++= "  residual churn right after a quiesce or after generation hits\n"
+    md ++= "  each side equally often), so each quotient pair lands in\n"
+    md ++= "  the same host window. The GC quiesce is parent-orchestrated so\n"
+    md ++= "  it cannot overlap the sibling's timed epoch; counter-dirty\n"
+    md ++= "  pairs are dropped, as are PHYSICALLY IMPOSSIBLE pairs whose\n"
+    md ++= "  quotient implies efficiency beyond the core ratio +5% (same\n"
+    md ++= "  socket, shared LLC — the narrow side has MORE cache per\n"
+    md ++= "  thread, so such a pair is a sub-counter N-side stall; dropping\n"
+    md ++= "  it biases the median DOWN, conservative for the gate). The\n"
     md ++= "  headline is the MEDIAN remaining pair (lower-middle; labeled\n"
     md ++= "  sync_epoch_pair_median) scaled to full-replay walls — immune to\n"
-    md ++= "  both window drift and one sub-counter stall per side. Raw\n"
-    md ++= "  per-epoch pair ratios are in the JSON (pair_ratio_epochs); any\n"
-    md ++= "  handshake failure falls back to sequential children.\n"
+    md ++= "  both window drift and one sub-counter stall per side. If the\n"
+    md ++= "  selected headline still exceeds 1.05 (possible when a truncated\n"
+    md ++= "  round's ONLY pair was impossible and the fallback composition\n"
+    md ++= "  reuses the same stalled epochs), the source label carries a\n"
+    md ++= "  _superlinear_suspect suffix — it is host noise, not engine\n"
+    md ++= "  evidence. Raw per-epoch pair ratios are in the JSON\n"
+    md ++= "  (pair_ratio_epochs); any handshake failure falls back to\n"
+    md ++= "  sequential children.\n"
     md ++= "- Each child also runs a fixed 256MB array-copy calibration and\n"
     md ++= "  reports its best-pass GB/s (membw_gbs_* in the JSON): co-tenant\n"
     md ++= "  memory-bandwidth contention slows wide runs with zero steal and\n"
@@ -1442,10 +1608,6 @@ object Bench {
     md ++= "  happened to land on.\n\n"
     md ++= "Per-query seconds:\n\n| query | sec |\n|---|---|\n"
     queryTimes.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
-    val prevDoc = {
-      val p = Paths.get("BENCH/BASELINE.md")
-      if (Files.exists(p)) Files.readString(p) else ""
-    }
     if (queryTimes.isEmpty) {
       // replay-only run: keep the previous run's per-query table
       val i = prevDoc.indexOf("Per-query seconds:")
@@ -1482,7 +1644,7 @@ object Bench {
     md ++= "in the caveats and moves the quotient, not the engine).\n\n"
     md ++= "| when (UTC) | source | eff | N ev/s | 4N ev/s | events | clean(N,4N) |\n"
     md ++= "|---|---|---|---|---|---|---|\n"
-    md ++= (oldRows.takeRight(19) :+ newRow).mkString("\n") + "\n"
+    md ++= (oldRows.takeRight(60) :+ newRow).mkString("\n") + "\n"
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md.toString)
     ()

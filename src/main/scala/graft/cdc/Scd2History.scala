@@ -172,7 +172,7 @@ object Scd2History {
       val root = java.nio.file.Files.createTempDirectory("graft-scd2-").toString + "/hist"
       val table = createTable(spark, root, cfg, e.schema)
       // ordered arrival: 3 contiguous event_id ranges (replay orchestration)
-      val maxId = e.agg(max(col("event_id"))).head.getLong(0)
+      val maxId = e.agg(max(col("event_id"))).head().getLong(0)
       val cut = maxId / 3
       Seq(
         e.filter(col("event_id") <= cut),

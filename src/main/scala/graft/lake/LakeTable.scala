@@ -1002,7 +1002,11 @@ object LakeTable {
     // `_current` never advances (observed when a bench child was killed
     // and its table path reused). Old DATA files are left in place:
     // snap-0 references none of them, so they are merely orphans.
-    if (fs.exists(metaDir)) fs.delete(metaDir, true)
+    if (fs.exists(metaDir) && !fs.delete(metaDir, true))
+      throw new IllegalStateException(
+        s"create: failed to delete stale table metadata at $metaDir — " +
+          "refusing to proceed (surviving snap-N manifests would deadlock " +
+          "the re-created table's first commit)")
     fs.mkdirs(metaDir)
     val snap = Snapshot(0L, -1L, -1L, schemaVer, numBuckets, 0L, -1L, Nil)
     val t = new LakeTable(spark, root, registry, keyCols)

@@ -91,7 +91,7 @@ object BinaryPipeline {
     val totalBytes =
       if (statBytes > 0 && statBytes < BigInt(Long.MaxValue) / 8)
         statBytes.toLong * decompressionFactor
-      else withBytes.agg(sum(col("n_bytes"))).head.get(0) match {
+      else withBytes.agg(sum(col("n_bytes"))).head().get(0) match {
         case null => 0L
         case x: Long => x
         case x: java.math.BigDecimal => x.longValue()
