@@ -1397,7 +1397,7 @@ object Bench {
         // Strip any prior retention note so repeated suspect runs do not
         // stack one note per run — this run re-emits a single fresh one.
         val raw = prevDoc.substring(s, e)
-        val cut = raw.indexOf("(Headline retained")
+        val cut = raw.indexOf("(Headline") // any prior headline-provenance note
         Some((if (cut >= 0) raw.take(cut) else raw).strip)
       } else None
     }
