@@ -57,7 +57,13 @@ object Bench {
       // concurrently.
       var tSpun = System.nanoTime()
       val (ctx, warmOnce) = warmedCtx(args(1).toInt, args(2).toInt, args(3),
-        onSpun = () => { tSpun = System.nanoTime(); println("CHILD_SPUN"); Console.out.flush() })
+        onSpun = () => {
+          tSpun = System.nanoTime()
+          // spinSec = JVM start -> session up (the serialized pre-touch
+          // phase); the parent adds it back into the round-cost estimate.
+          val spin = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0
+          println(f"CHILD_SPUN spinSec=$spin%.1f"); Console.out.flush()
+        })
       // warmSec = the WARM-only wall (spun -> ready), i.e. the portion
       // that overlaps the sibling's warm — the parent's round-cost
       // estimator subtracts the shorter of the two from its serial sum.
@@ -81,23 +87,33 @@ object Bench {
           // never overlaps the sibling child's timed epoch.
           System.gc()
           println("CHILD_QUIESCED"); Console.out.flush()
-        } else if (cmd.trim == "SETTLE") {
+        } else if (cmd.trim.startsWith("SETTLE")) {
           // UNCONTENDED re-stabilization, parent-serialized (the sibling
           // is idle and generation is done). The concurrent warm phase
           // cannot distinguish "every pass contended" from steady state —
           // its warmMin may itself be contention-inflated, accepting an
           // under-warmed child whose first timed epoch runs ~2x slow with
           // zero steal (a fake 0.47 pair was measured from exactly that).
-          // Up to 3 clean passes here drain any residual C2 queue and
-          // confirm the real steady state before the first timed epoch.
+          // Up to 4 clean passes here drain any residual C2 queue and
+          // confirm the real steady state before the first timed epoch,
+          // wall-capped by the parent-provided budget slice so a degraded
+          // window cannot eat the round. The near-best clause mirrors the
+          // warm loop: a pass that got SLOWER (host blip) must not count
+          // as stable.
+          val capSec = cmd.trim.split("\\s+").drop(1).headOption
+            .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(60.0)
           var prev = Double.MaxValue
+          var minSeen = Double.MaxValue
           var last = 0.0
+          var total = 0.0
           var n = 0
           var stable = false
-          while (n < 4 && !stable) {
+          while (n < 4 && !stable && total < capSec) {
             last = warmOnce()
-            stable = last > prev * 0.88
+            stable = last > prev * 0.88 && last <= minSeen * 1.3
             prev = last
+            minSeen = math.min(minSeen, last)
+            total += last
             n += 1
           }
           println(f"CHILD_SETTLED n=$n sec=$last%.2f")
@@ -553,11 +569,21 @@ object Bench {
         // stalled it beyond the ready timeout). The warms themselves may
         // contend, which the near-best steady-state rule tolerates (and
         // the 32-core gen thread already overlaps them regardless).
+        // spinSec on the SPUN line = JVM start -> session up, the
+        // serialized pre-touch phase — real serial wall the round-cost
+        // estimator must count (warmSec alone under-estimated the next
+        // round by ~2x spin and green-lit rounds that then blew the
+        // deadline).
+        def spunSpin(c: SyncChild, label: String): Double = {
+          val l = c.await("CHILD_SPUN", readyTimeoutSec)
+          require(l.isDefined, s"$label child not spun")
+          parseKv(l.get).get("spinSec").map(_.toDouble).getOrElse(c.busySec)
+        }
         val a = new SyncChild(smallCores, round); spawned ::= a
-        require(a.await("CHILD_SPUN", readyTimeoutSec).isDefined, s"N child not spun")
+        val spinA = spunSpin(a, "N")
         val b = new SyncChild(bigCores, round); spawned ::= b
         // b's CHILD_SPUN must be drained (await hands lines out in order).
-        require(b.await("CHILD_SPUN", readyTimeoutSec).isDefined, s"4N child not spun")
+        val spinB = spunSpin(b, "4N")
         // warmSec on the READY line is the child's own warm-only wall
         // (spun -> ready) — the overlappable portion; the parent-clock
         // fallback over-counts it with queue-drain wait (conservative).
@@ -576,7 +602,12 @@ object Bench {
         // see the SETTLE handler. Their wall is serial round cost, so it
         // rides in the Run wall alongside the epochs.
         def settle(c: SyncChild, label: String): Double = {
-          c.send("SETTLE")
+          // Wall-cap the child's settle passes to a slice of the budget
+          // so a degraded window (79 s passes measured) cannot eat the
+          // round or trip the await timeout after the warm investment is
+          // already paid.
+          val cap = math.max(15.0, math.min(60.0, remainingSec() * 0.15))
+          c.send(f"SETTLE $cap%.0f")
           val l = c.await("CHILD_SETTLED", epochTimeoutSec)
           require(l.isDefined, s"$label child settle timed out")
           val kv = parseKv(l.get)
@@ -584,18 +615,19 @@ object Bench {
             s"lastPass=${kv.getOrElse("sec", "?")}s")
           kv.get("sec").map(_.toDouble).getOrElse(0.0)
         }
-        // Skip when the deadline is already blown (degraded windows can
-        // inflate catalog+warm past the whole budget before the first
-        // epoch): at that point the priority is landing ANY pair before
-        // the driver's hard kill, and a settle-less pair is at worst
-        // labeled suspect by the plausibility gate.
-        val settleSec = if (remainingSec() > 0) {
+        // Settle only while there is budget beyond the settle's own cost
+        // (re-checked per child — degraded windows can burn the budget
+        // mid-settle): when the deadline is blown the priority is landing
+        // ANY pair before the driver's hard kill, and a settle-less pair
+        // is at worst labeled suspect by the plausibility gate.
+        val settleSec = {
           val settleWall0 = System.nanoTime()
-          settle(a, "N"); settle(b, "4N")
+          Seq((a, "N"), (b, "4N")).foreach { case (c, label) =>
+            if (remainingSec() > 60) settle(c, label)
+            else System.err.println(
+              f"[bench] skipping $label settle (remaining=${remainingSec()}%.0fs)")
+          }
           (System.nanoTime() - settleWall0) / 1e9
-        } else {
-          System.err.println(f"[bench] skipping settle passes (remaining=${remainingSec()}%.0fs)")
-          0.0
         }
         val eps = Array(a, b).map(_ => Vector.newBuilder[(Double, Double, Double, Double)])
         val perEpochEvents = cfg.totalRows.toDouble / nBatches
@@ -667,16 +699,18 @@ object Bench {
           c.proc.waitFor()
           (kv("rows").toLong, kv("membw").toDouble)
         }
-        // Per-child busy wall (warm + half the serialized settle + its own
-        // epochs), used by the round-cost and peak-cost estimators: the
-        // children are alive for the whole round but only busy for their
-        // own slices. warmSec rides separately so the estimator can
-        // subtract the OVERLAPPED (shorter) warm from its serial sum.
-        Seq((a, 0, warmA), (b, 1, warmB)).foreach { case (c, i, warm) =>
+        // Per-child busy wall (spin-up + warm + half the serialized settle
+        // + its own epochs), used by the round-cost and peak-cost
+        // estimators: the children are alive for the whole round but only
+        // busy for their own slices. warmSec rides separately so the
+        // estimator can subtract the OVERLAPPED (shorter) warm from its
+        // serial sum; the spins are deliberately serialized, so both
+        // count in full.
+        Seq((a, 0, warmA, spinA), (b, 1, warmB, spinB)).foreach { case (c, i, warm, spin) =>
           val m = eps(i).result()
           val cores = if (i == 0) smallCores else bigCores
           val run = Run(cores, round, m.map(_._1), m.map(_._2), m.map(_._3), m.map(_._4),
-            results(i)._2, results(i)._1, warm + settleSec / 2 + m.map(_._1).sum,
+            results(i)._2, results(i)._1, spin + warm + settleSec / 2 + m.map(_._1).sum,
             warmSec = warm)
           if (run.stalled)
             System.err.println(f"[bench] cores=$cores round=$round epoch-stall: " +
