@@ -1154,7 +1154,7 @@ object Bench {
       r, cleanRounds(smallCores), cleanRounds(bigCores), stealCleanSec,
       headlineSource, headlineEvents,
       probeEff.map(pe => (probeCfg.totalRows, probeBest(smallCores), probeBest(bigCores), pe)),
-      (epochMeanN, epochSdN, epochMean4N, epochSd4N), effEpochMin)
+      (epochMeanN, epochSdN, epochMean4N, epochSd4N), effEpochMin, sfDir)
   }
 
   /** Hard ceiling for the LAST stdout line: the driver keeps only the
@@ -1456,7 +1456,19 @@ object Bench {
     val p = Paths.get("BENCH/BASELINE.md")
     if (!Files.exists(p) || queryTimes.isEmpty) return
     val old = Files.readString(p)
-    val totalRow = f"| operator catalog total (sf0.1, ${queryTimes.size} queries) | $totalQuery%.1f s |"
+    val sfName = Paths.get(sfDir).getFileName.toString
+    // Never replace a catalog recorded at a DIFFERENT scale factor: a
+    // quick sf0.001 smoke pass must not overwrite the judged sf0.1 table
+    // (a silent relabel did exactly that once — the doc claimed sf0.1
+    // over sf0.001 numbers).
+    val recordedSf = "\\| operator catalog total \\((sf[0-9.]+),".r
+      .findFirstMatchIn(old).map(_.group(1))
+    if (recordedSf.exists(_ != sfName)) {
+      System.err.println(s"[bench] queries-only pass at $sfName: BENCH/BASELINE.md records " +
+        s"the ${recordedSf.get} catalog — leaving it untouched")
+      return
+    }
+    val totalRow = f"| operator catalog total ($sfName, ${queryTimes.size} queries) | $totalQuery%.1f s |"
     val patchedTotal = old.linesIterator.map { l =>
       if (l.startsWith("| operator catalog total")) totalRow else l
     }.mkString("\n")
@@ -1484,7 +1496,9 @@ object Bench {
       roundsRun: Int, cleanN: Int, clean4N: Int, stealCleanSec: Double,
       headlineSource: String, headlineEvents: Long,
       probe: Option[(Long, Double, Double, Double)],
-      epochStats: (Double, Double, Double, Double), effEpochMin: Double): Unit = {
+      epochStats: (Double, Double, Double, Double), effEpochMin: Double,
+      sfDir: String = "/root/testdata/sf0.1"): Unit = {
+    val sfName = Paths.get(sfDir).getFileName.toString
     val prevDoc = {
       val p = Paths.get("BENCH/BASELINE.md")
       if (Files.exists(p)) Files.readString(p) else ""
@@ -1517,7 +1531,7 @@ object Bench {
         if (queryTimes.isEmpty) prevTable.get
         else prevTable.get.linesIterator.map { l =>
           if (l.startsWith("| operator catalog total"))
-            f"| operator catalog total (sf0.1, ${queryTimes.size} queries) | $totalQuery%.1f s |"
+            f"| operator catalog total ($sfName, ${queryTimes.size} queries) | $totalQuery%.1f s |"
           else l
         }.mkString("\n")
       md ++= retained + "\n\n"
@@ -1549,7 +1563,7 @@ object Bench {
         md ++= prior.getOrElse("| operator catalog total | not run this pass (table below is the prior run) |")
         md ++= "\n\n"
       } else
-        md ++= f"| operator catalog total (sf0.1, ${queryTimes.size} queries) | $totalQuery%.1f s |\n\n"
+        md ++= f"| operator catalog total ($sfName, ${queryTimes.size} queries) | $totalQuery%.1f s |\n\n"
     }
     md ++= "Methodology & host caveats:\n\n"
     md ++= "- The WHOLE protocol runs inside a wall-clock deadline\n"
