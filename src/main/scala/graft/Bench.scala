@@ -379,8 +379,17 @@ object Bench {
     // ~1.0-1.3 s/epoch serial slice drags the 4N quotient below the
     // north rule once epochs shrink under ~6M events: measured eff 0.711
     // at 3.9M-event epochs, 0.798 at 8.2M, model 0.89 at 12M).
+    // Serialized post-warm settle passes (~2 per child at steady state,
+    // each one warm-slice pass): without this term sizing committed to
+    // events whose warm left no budget for the settles — they were then
+    // skipped and the round's single pair measured an under-settled child
+    // (observed: a skipped-settle 4N epoch at 2-3× its steady state,
+    // publishing eff 0.426 where settled runs measure 0.87-0.93).
+    val settleCost: Double =
+      2.0 * warmEvents / epsN + 2.0 * warmEvents / (2.8 * epsN)
     def minViableCost(events: Long): Double =
       genCostSec(events) + 2 * spinUp + warmCost(epsN) + warmCost(2.8 * epsN) +
+        settleCost +
         (events.toDouble / nBatches) / epsN + (events.toDouble / nBatches) / (2.8 * epsN) +
         2 * epochFixed
     // Largest epoch size whose one-pair minimum fits: epoch size is the
@@ -525,6 +534,10 @@ object Bench {
     }
     var runs = Vector.empty[Run]
     var syncRounds = Set.empty[Int] // round indices measured epoch-interleaved
+    // Sync rounds whose uncontended settle passes were skipped (deadline
+    // pressure): steady state was never established, so their quotients
+    // are labeled, never presented as settled gate evidence.
+    var unsettledRounds = Set.empty[Int]
     def cleanRounds(c: Int) = runs.count(r => r.cores == c && r.clean)
     def soundRounds(c: Int) = runs.count(r => r.cores == c && r.sound)
 
@@ -653,14 +666,24 @@ object Bench {
         // Settle only while there is budget beyond the settle's own cost
         // (re-checked per child — degraded windows can burn the budget
         // mid-settle): when the deadline is blown the priority is landing
-        // ANY pair before the driver's hard kill, and a settle-less pair
-        // is at worst labeled suspect by the plausibility gate.
+        // ANY pair before the driver's hard kill. A settle-less pair is
+        // NOT headline-grade, in either direction: an under-settled narrow
+        // child reads fake-superlinear (caught by the plausibility gate),
+        // an under-settled WIDE child deflates the quotient below it
+        // (observed: a skipped-settle 4N child's single epoch ran 18 s vs
+        // its 6-9 s steady state and published eff 0.426) — so a round
+        // whose settle was skipped is marked UNSETTLED and its headline is
+        // labeled, with the prior settled doc block retained.
         val settleSec = {
           val settleWall0 = System.nanoTime()
           Seq((a, "N"), (b, "4N")).foreach { case (c, label) =>
             if (remainingSec() > 60) settle(c, label)
-            else System.err.println(
-              f"[bench] skipping $label settle (remaining=${remainingSec()}%.0fs)")
+            else {
+              unsettledRounds += round
+              System.err.println(
+                f"[bench] skipping $label settle (remaining=${remainingSec()}%.0fs) — " +
+                  "round marked unsettled")
+            }
           }
           (System.nanoTime() - settleWall0) / 1e9
         }
@@ -668,6 +691,10 @@ object Bench {
         val perEpochEvents = cfg.totalRows.toDouble / nBatches
         var measuredN = Vector.empty[Double]
         var measured4 = Vector.empty[Double]
+        // per-pair counter evidence, for the PARTIAL's clean-pair filter
+        // (the emergency JSON must not publish a storm-dirty quotient when
+        // a clean pair exists — the final headline filters, so must this)
+        var pairDirty = Vector.empty[Boolean]
         // Cost of the NEXT pair: worst measured epoch per side once one
         // exists (the honest predictor for this window), else the sizing
         // estimate; +8 s for quiesce/handshake slack.
@@ -696,6 +723,7 @@ object Bench {
             // residual host churn; alternating the order per pair makes
             // that exposure symmetric across the round's median.
             val order = if (e % 2 == 0) Seq((a, 0), (b, 1)) else Seq((b, 1), (a, 0))
+            var dirty = false
             order.foreach { case (c, i) =>
               c.send(s"GO $e")
               val line = c.await("CHILD_EPOCH", epochTimeoutSec)
@@ -703,25 +731,41 @@ object Bench {
               val kv = parseKv(line.get)
               val sec = kv("sec").toDouble
               if (i == 0) measuredN :+= sec else measured4 :+= sec
+              if (kv("steal").toDouble > stealCleanSec ||
+                kv("sysu").toDouble > sysUserCleanRatio) dirty = true
               eps(i) += ((sec, kv("steal").toDouble,
                 kv("sysu").toDouble, kv("gc").toDouble))
             }
+            // the plausibility bar is part of pair cleanliness everywhere
+            if (measuredN.last / measured4.last >
+              (bigCores.toDouble / smallCores) * 1.05) dirty = true
+            pairDirty :+= dirty
             // Keep the SIGTERM-emergency JSON current after EVERY pair:
             // the sync round is now most of the protocol's wall, and a
             // mid-round kill must still report the pairs already measured.
             locally {
               val ratios = measuredN.zip(measured4).map { case (x, y) => x / y }
-              val med = ratios.sorted.apply((ratios.size - 1) / 2)
+              // Clean pairs only, when any exist — a kill right after a
+              // storm-dirty pair must not publish its quotient while a
+              // clean same-window pair is in hand (observed: dirty pair
+              // eff 0.44 next to a clean 0.88 in one stormy round).
+              val usable = ratios.zip(pairDirty).collect { case (r, false) => r } match {
+                case Vector() => ratios
+                case clean => clean
+              }
+              val med = medianOf(usable)
               publish(
                 f"""{"metric":"total","value":$totalQuery%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
                   f""""cdc":{"events":${cfg.totalRows},"batches":$nBatches,""" +
-                  f""""sync_pairs_done":${e + 1},""" +
+                  f""""sync_pairs_done":${e + 1},"pairs_dirty":${pairDirty.count(identity)},""" +
                   f""""pair_ratio_epochs":[${ratios.map(r => f"$r%.2f").mkString(",")}],""" +
                   f""""epoch_secs_n":[${measuredN.map(s => f"$s%.2f").mkString(",")}],""" +
                   f""""epoch_secs_4n":[${measured4.map(s => f"$s%.2f").mkString(",")}],""" +
                   f""""cores_n":$smallCores,"cores_4n":$bigCores,""" +
                   f""""scaling_efficiency":${med / (bigCores.toDouble / smallCores)}%.3f,""" +
-                  f""""headline_source":"sync_partial","truncated":"mid_sync_round"}}""")
+                  f""""headline_source":"sync_partial${
+                    if (unsettledRounds.contains(round)) "_unsettled" else ""}",""" +
+                  f""""truncated":"mid_sync_round"}}""")
             }
             if (e < nBatches - 1) {
               Seq(a, b).foreach(_.send("QUIESCE"))
@@ -797,7 +841,12 @@ object Bench {
       } else {
         val syncMode = !sys.env.get("SPARK_GRAFT_BENCH_SYNC").contains("0")
         if (syncMode && replaySyncRound(r)) {
-          updatePartialWithRuns()
+          // Deliberately NOT updatePartialWithRuns(): the sync round just
+          // published a clean-pair-median partial — strictly better
+          // evidence than the cross-round best-epoch composition, which
+          // ignores pair structure and can briefly publish an impossible
+          // (>core-ratio) quotient between here and the final emit
+          // (observed: 1.108 next to a 0.934 clean pair).
         } else {
           genJoin() // sequential children replay all epochs unsynced
           Seq(smallCores, bigCores).foreach { c =>
@@ -1059,8 +1108,19 @@ object Bench {
         // same-window measurement and the round was budget-truncated.
         if (good.isEmpty || good.size < math.max(1, (completed + 1) / 2)) None
         else {
+          // STANDARD median over the clean pairs' quotients — the label
+          // says median, so an even count takes the midpoint of the two
+          // middle pairs' walls (component-wise), not the lower one:
+          // `prs((size-1)/2)` silently computed the MINIMUM for 2 pairs,
+          // which is not a median estimate but the worst case (measured:
+          // clean pairs 3.20/3.46 reported 0.799 where the median is 0.83).
           val prs = good.map(e => (n.secs(e), b.secs(e))).sortBy { case (x, y) => x / y }
-          Some(prs((prs.size - 1) / 2))
+          if (prs.size % 2 == 1) Some(prs(prs.size / 2))
+          else {
+            val (x1, y1) = prs(prs.size / 2 - 1)
+            val (x2, y2) = prs(prs.size / 2)
+            Some(((x1 + x2) / 2, (y1 + y2) / 2))
+          }
         }
       }
     }
@@ -1115,11 +1175,21 @@ object Bench {
     // round was impossible the fallback compositions reuse the same
     // stalled epochs, so the label must say so rather than present a
     // fake-superlinear number as gate evidence.
-    val headlineSource =
-      if (efficiency > 1.05) headlineSource0 + "_superlinear_suspect" else headlineSource0
+    // A sync headline whose every contributing round skipped its settle
+    // passes measured children never shown to be at steady state — label
+    // it (warm-quality failure deflates OR inflates the quotient; see the
+    // settle note above).
+    val unsettledHeadline = headlineSource0 == "sync_epoch_pair_median" &&
+      syncRounds.nonEmpty && syncRounds.forall(unsettledRounds.contains)
+    val headlineSource = headlineSource0 +
+      (if (efficiency > 1.05) "_superlinear_suspect" else "") +
+      (if (unsettledHeadline) "_unsettled" else "")
     if (efficiency > 1.05)
       System.err.println(f"[bench] headline efficiency $efficiency%.3f exceeds the " +
         "core ratio — physically impossible, labeling the run suspect")
+    if (unsettledHeadline)
+      System.err.println(f"[bench] headline efficiency $efficiency%.3f measured without " +
+        "settle passes — labeling the run unsettled")
     val headlineEvents = if (headlineSource0 == "clean_probe") probeCfg.totalRows else cfg.totalRows
     val (epsSmall, epsBig) = (headlineEvents / tSmall, headlineEvents / tBig)
     val speedup = tSmall / tBig
@@ -1221,7 +1291,7 @@ object Bench {
             "scaling_efficiency_best", "scaling_efficiency_floor",
             "scaling_efficiency_sync_pair", "headline_source", "headline_events",
             "cores_peak", "events_per_sec_peak", "rounds_run", "sync_pairs_done",
-            "final_rows")
+            "pairs_dirty", "final_rows")
           keep.filter(c.has).map(k => s""""$k":${c.get(k)}""")
             .mkString(""","cdc":{""", ",", "}")
         }
@@ -1553,8 +1623,13 @@ object Bench {
         Some((if (cut >= 0) raw.take(cut) else raw).strip)
       } else None
     }
-    val retainPrior = headlineSource.contains("_superlinear_suspect") &&
-      prevTable.exists(t => !t.contains("suspect"))
+    // Retain the prior headline block whenever THIS run is marked (suspect
+    // or unsettled) and the prior block is not: a marked run is recorded
+    // in the run history but must not replace settled, plausible evidence.
+    val marked = headlineSource.contains("_superlinear_suspect") ||
+      headlineSource.contains("_unsettled")
+    val retainPrior = marked &&
+      prevTable.exists(t => !t.contains("suspect") && !t.contains("unsettled"))
     if (retainPrior) {
       val retained =
         if (queryTimes.isEmpty) prevTable.get
@@ -1564,10 +1639,18 @@ object Bench {
           else l
         }.mkString("\n")
       md ++= retained + "\n\n"
-      md ++= f"(Headline retained from the prior run: this run's quotient read\n"
-      md ++= f"$eff%.3f — beyond the core ratio, physically impossible, so it is\n"
-      md ++= "a sub-counter host stall on the narrow side, recorded in the run\n"
-      md ++= "history below but not presented as gate evidence.)\n\n"
+      if (headlineSource.contains("_superlinear_suspect")) {
+        md ++= f"(Headline retained from the prior run: this run's quotient read\n"
+        md ++= f"$eff%.3f — beyond the core ratio, physically impossible, so it is\n"
+        md ++= "a sub-counter host stall on the narrow side, recorded in the run\n"
+        md ++= "history below but not presented as gate evidence.)\n\n"
+      } else {
+        md ++= f"(Headline retained from the prior run: this run skipped its\n"
+        md ++= f"uncontended settle passes under deadline pressure and read\n"
+        md ++= f"$eff%.3f — steady state was never established, so the quotient is\n"
+        md ++= "recorded in the run history below but not presented as gate\n"
+        md ++= "evidence.)\n\n"
+      }
     } else {
       md ++= "| quantity | value |\n|---|---|\n"
       md ++= f"| replayed change events (interleaved rounds) | $events%,d (in $batches micro-batches) |\n"
