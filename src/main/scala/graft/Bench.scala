@@ -1086,8 +1086,26 @@ object Bench {
         // Early-stopped rounds complete fewer (identically sized) pairs;
         // only epochs BOTH sides ran can pair.
         val completed = math.min(n.secs.size, b.secs.size)
+        // Internal-consistency reference per side: identical epochs on one
+        // child only differ by host interference, and stalls only ever ADD
+        // time — so an epoch far above its own child's best is a stall
+        // regardless of counter attribution. This is the SYMMETRIC twin of
+        // the superlinear gate: an N-side stall inflates the quotient
+        // (caught there), a WIDE-side stall deflates it below the gate with
+        // zero recorded steal (observed: 4N epochs [14.9 s, 7.6 s] in one
+        // round — the stalled pair read eff 0.44 where its sibling read
+        // 0.86). Needs ≥2 completed pairs for a reference.
+        val nMin = n.secs.take(completed).min
+        val bMin = b.secs.take(completed).min
         val good = (0 until completed).filter { e =>
-          val counters = n.steals(e) <= stealCleanSec && n.sysu(e) <= sysUserCleanRatio &&
+          val consistent = completed < 2 ||
+            (n.secs(e) <= epochStallFactor * nMin && b.secs(e) <= epochStallFactor * bMin)
+          if (!consistent)
+            System.err.println(f"[bench] round $i pair $e dropped as internally " +
+              f"inconsistent (N=${n.secs(e)}%.2fs vs side-best $nMin%.2fs, " +
+              f"4N=${b.secs(e)}%.2fs vs side-best $bMin%.2fs)")
+          val counters = consistent &&
+            n.steals(e) <= stealCleanSec && n.sysu(e) <= sysUserCleanRatio &&
             b.steals(e) <= stealCleanSec && b.sysu(e) <= sysUserCleanRatio
           // PLAUSIBILITY: a pair whose quotient implies efficiency beyond
           // the core ratio (+5% margin) is physically impossible for this
