@@ -122,6 +122,62 @@ object SparkEntry {
   private val insertOnlyDump = "/tmp/graft_oracle/cdc_change_events_m4i"
   private val updateOnlyDump = "/tmp/graft_oracle/cdc_change_events_m4u"
 
+  private val changesDump = "/tmp/graft_oracle/cdc_change_events_chg"
+
+  /** CDC-OUT replay: apply 4 epochs, bookmark the snapshot after epoch 1,
+    * compact mid-window, then read the INCREMENTAL CHANGELOG between the
+    * bookmark and the final state ([[graft.lake.LakeTable.readChangesSince]]).
+    * The dump carries the batch index so the oracle recomputes the same
+    * net diff directly from the log: LWW winners over the FULL log,
+    * anti-joined against winners over the first two batches on
+    * (key, lsn) — a key appears iff its winning event changed inside the
+    * window (including late old-LSN arrivals that still win, which an
+    * lsn-watermark restatement would miss), DELETE iff the new winner is a
+    * tombstone (null payload on both sides).
+    */
+  private def changesSinceReplay(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val cfg = GenConfig(numEvents = 2000L)
+    val batches = 4
+    val per = (cfg.totalRows + batches - 1) / batches
+    val slices = (0 until batches).map(b => ChangeGen.eventSlice(
+      spark, cfg, b * per, math.min(cfg.totalRows, (b + 1) * per)).toDF())
+    slices.zipWithIndex.map { case (s, b) => s.withColumn("_b", lit(b)) }
+      .reduce(_ unionByName _)
+      .coalesce(1).write.mode("overwrite").parquet(changesDump)
+    val root = java.nio.file.Files.createTempDirectory("graft-chg-").toString + "/transcripts"
+    val table = LakeTable.create(spark, root, schemaVer = 1, numBuckets = 8)
+    var fromId = -1L
+    slices.zipWithIndex.foreach { case (s, b) =>
+      MergeApply.applyBatch(table, s, epochId = b.toLong)
+      if (b == 1) fromId = table.current.id
+      // compaction INSIDE the window: makes every compacted bucket
+      // diff-eligible, so the result proves the (key, lsn) anti-join
+      // drops unchanged rows rather than leaning on bucket pruning
+      if (b == 2) table.compact(maxFilesPerBucket = 1)
+    }
+    table.readChangesSince(fromId).orderBy("conv_id", "turn_idx")
+  }
+
+  private val changesSinceOracle: String =
+    s"""WITH log AS (SELECT * FROM read_parquet('$changesDump/*.parquet')),
+          wt AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                                ORDER BY lsn DESC) AS rn FROM log)
+                 WHERE rn = 1),
+          wf AS (SELECT conv_id, turn_idx, lsn FROM (
+                   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                                ORDER BY lsn DESC) AS rn
+                   FROM log WHERE _b <= 1)
+                 WHERE rn = 1)
+        SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
+               CASE WHEN t.op = 'D' THEN 'DELETE' ELSE 'UPSERT' END AS change_type
+        FROM wt t LEFT JOIN wf f
+          ON t.conv_id = f.conv_id AND t.turn_idx = f.turn_idx AND t.lsn = f.lsn
+        WHERE f.lsn IS NULL
+        ORDER BY t.conv_id, t.turn_idx"""
+
   /** Batch-0 winners (`b0w`, tombstones INCLUDED) carry lsn and op so the
     * final resolve ranks them against batch-1 candidates exactly like the
     * merge kernel ranks current rows against the admitted batch: a batch-1
@@ -179,7 +235,10 @@ object SparkEntry {
           modeReplay(s, graft.cdc.MergeMode.InsertOnly, insertOnlyDump))) +
       ("m4_update_only" ->
         ((s: SparkSession, _: String) =>
-          modeReplay(s, graft.cdc.MergeMode.UpdateOnly, updateOnlyDump)))
+          modeReplay(s, graft.cdc.MergeMode.UpdateOnly, updateOnlyDump))) +
+      // CDC-out: incremental changelog read between two snapshots
+      ("cdc_changes_since" ->
+        ((s: SparkSession, _: String) => changesSinceReplay(s)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -190,6 +249,7 @@ object SparkEntry {
       ("cdc_replay_mor" -> morOracle) +
       ("cdc_replay_expire" -> expireOracle) +
       ("m4_insert_only" -> insertOnlyOracle) +
-      ("m4_update_only" -> updateOnlyOracle))
+      ("m4_update_only" -> updateOnlyOracle) +
+      ("cdc_changes_since" -> changesSinceOracle))
       .map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -320,6 +320,77 @@ final class LakeTable(
     else resolved.unionByName(readFiles(pure, snap.schemaVer))
   }
 
+  /** Buckets whose FILE SETS differ between two snapshots — the pruning
+    * unit for [[readChangesSince]]: identical file sets imply identical
+    * rows, so an untouched bucket never enters the diff. Compaction makes
+    * a bucket eligible without changing its rows; the diff's anti-join
+    * drops those rows, so eligibility over-approximation costs read I/O,
+    * never correctness.
+    */
+  def changedBuckets(from: Snapshot, to: Snapshot): Set[Int] = {
+    val f = from.files.groupBy(_.bucket).map { case (b, fs) => b -> fs.map(_.path).toSet }
+    val t = to.files.groupBy(_.bucket).map { case (b, fs) => b -> fs.map(_.path).toSet }
+    (f.keySet ++ t.keySet)
+      .filter(b => f.getOrElse(b, Set.empty) != t.getOrElse(b, Set.empty))
+  }
+
+  /** Net row-level changes in `(from, to]` — the CDC-OUT face of the table
+    * (Iceberg-style incremental changelog read): one row per key whose LWW
+    * winner DIFFERS between the two snapshots, carrying the winner's
+    * payload at `to` plus `change_type` — `DELETE` for a tombstone winner
+    * (null payload, matching the merge kernel's tombstone normalization)
+    * or `UPSERT`. A downstream consumer that applies these rows to its
+    * copy of snapshot `from` reaches snapshot `to` exactly; consuming
+    * every commit's window replays the table as a change stream.
+    *
+    * Exactness: the diff anti-joins `to`-winners against `from`-winners on
+    * (key, `_lsn`) — NOT an LSN high-watermark filter. A watermark misses
+    * the late-arrival case the generator's bounded inversions produce: an
+    * event with an OLD LSN that still wins its key (the key had nothing
+    * newer) changes the table while staying under `from.maxLsn`. Keys
+    * present in `from` but ABSENT from `to` (possible only when compaction
+    * dropped their tombstone inside the window) are emitted as `DELETE`
+    * with null payload, so the consumer still sees the kill; the proper
+    * retention contract remains `dropTombstonesBelowLsn` ≤ the oldest LSN
+    * any incremental consumer still needs (Iceberg's own rule that delete
+    * files outlive incremental readers).
+    *
+    * Scale shape: reads only [[changedBuckets]] at BOTH snapshots; the
+    * `from` side carries only (key, `_lsn`) into the join, so the diff
+    * costs O(changed-bucket rows) I/O and one co-keyed shuffle — per-epoch
+    * windows on a bucketed 100 TB table touch a few buckets, not the
+    * table. Retention: `from`'s manifest and data files must still exist
+    * (run [[expireSnapshots]] with `keepLast` covering the oldest
+    * consumer).
+    */
+  def readChangesSince(fromSnapshotId: Long, toSnapshotId: Long = -1L): DataFrame = {
+    val to = if (toSnapshotId < 0) current else snapshot(toSnapshotId)
+    val from = snapshot(fromSnapshotId)
+    require(from.numBuckets == to.numBuckets,
+      s"bucket count changed between snapshots: ${from.numBuckets} -> ${to.numBuckets}")
+    val bs = changedBuckets(from, to)
+    val joinKey = keyCols :+ "_lsn"
+    val fromRows = readResolved(from, Some(bs))
+    val toRows = readResolved(to, Some(bs))
+    val publicCols = registry(to.schemaVer).fieldNames.toSeq
+    val changed = toRows
+      .join(fromRows.select(joinKey.map(col): _*), joinKey, "left_anti")
+      .withColumn("change_type",
+        when(col("_deleted"), lit("DELETE")).otherwise(lit("UPSERT")))
+      .select(publicCols.map(col) :+ col("change_type"): _*)
+    // keys whose very ROW vanished (tombstone GC'd mid-window): key-only
+    // anti-join the other way, emitted as null-payload DELETEs. Only keys
+    // LIVE at `from` count — a key that was already a tombstone there was
+    // already dead to the consumer, so its GC is not a change.
+    val vanished = fromRows.filter(!col("_deleted")).select(keyCols.map(col): _*)
+      .join(toRows.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .select(publicCols.map(n =>
+        if (keyCols.contains(n)) col(n)
+        else lit(null).cast(registry(to.schemaVer)(n).dataType).as(n)) :+
+        lit("DELETE").as("change_type"): _*)
+    changed.unionByName(vanished)
+  }
+
   private def readFiles(wanted: Seq[FileEntry], targetVer: Int): DataFrame = {
     val target = physicalSchema(targetVer)
     val groups = wanted.groupBy(_.schemaVer)

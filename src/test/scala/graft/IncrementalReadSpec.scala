@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.MergeApply
+import graft.gen.ChangeGen
+import graft.gen.ChangeGen.GenConfig
+import graft.lake.LakeTable
+import graft.model.Model
+
+/** CDC-out: `LakeTable.readChangesSince` — the incremental changelog read
+  * a downstream consumer uses to follow the table snapshot-to-snapshot.
+  * The contract under test: applying the emitted window to a copy of the
+  * `from` state reproduces the `to` state exactly, under LSN inversions,
+  * compaction inside the window, and tombstone GC.
+  */
+class IncrementalReadSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local(8, appName = "increread-spec")
+
+  private def tmp(): String = Files.createTempDirectory("graft-increread-").toString
+
+  private val ts = new java.sql.Timestamp(1704067200000L)
+
+  private def ev(lsn: Long, op: String, conv: String, turn: Int, text: String) =
+    Model.ChangeEvent(lsn, op, 2, conv, turn,
+      if (op == "D") None else Some("user"),
+      if (op == "D") None else Some(text), None,
+      if (op == "D") None else Some(ts))
+
+  private def batch(events: Model.ChangeEvent*) = {
+    import spark.implicits._
+    spark.createDataset(events.toSeq).toDF()
+  }
+
+  private def changes(table: LakeTable, fromId: Long):
+      Seq[(String, Int, Option[String], String)] = {
+    import spark.implicits._
+    table.readChangesSince(fromId)
+      .select($"conv_id", $"turn_idx".cast("int"), $"text", $"change_type")
+      .as[(String, Int, Option[String], String)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+  }
+
+  test("generated replay: applying the window to the from-state reproduces " +
+      "the to-state (compaction mid-window)") {
+    import spark.implicits._
+    val cfg = GenConfig(numConvs = 40, maxTurns = 20, numEvents = 2000)
+    val table = LakeTable.create(spark, tmp(), schemaVer = 1, numBuckets = 8)
+    val per = cfg.totalRows / 4
+    (0 until 2).foreach { b =>
+      MergeApply.applyBatch(table,
+        ChangeGen.eventSlice(spark, cfg, b * per, (b + 1) * per).toDF(), b.toLong)
+    }
+    val fromId = table.current.id
+    // key → text map: the per-turn text-equality contract, stable across
+    // the v1→v2 schema evolution the replay crosses mid-window
+    def keyedText(df: org.apache.spark.sql.DataFrame): Map[(String, Long), String] =
+      df.select($"conv_id", $"turn_idx".cast("long"), $"text")
+        .as[(String, Long, String)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val fromState = keyedText(table.read())
+    (2 until 4).foreach { b =>
+      MergeApply.applyBatch(table,
+        ChangeGen.eventSlice(spark, cfg, b * per,
+          math.min(cfg.totalRows, (b + 1) * per)).toDF(), b.toLong)
+      if (b == 2) table.compact(maxFilesPerBucket = 1)
+    }
+    val toState = keyedText(table.read())
+
+    val window = table.readChangesSince(fromId)
+      .select($"conv_id", $"turn_idx".cast("long"), $"text", $"change_type")
+      .as[(String, Long, String, String)].collect()
+    val upserts = window.filter(_._4 == "UPSERT").map(r => (r._1, r._2) -> r._3).toMap
+    val deleteKeys = window.filter(_._4 == "DELETE").map(r => (r._1, r._2)).toSet
+    // apply the window onto the from-state: changed keys replaced, deletes
+    // removed — must land exactly on the to-state
+    val applied = (fromState -- upserts.keys -- deleteKeys) ++ upserts
+    assert(applied == toState)
+    assert(window.nonEmpty)
+    // deletes only kill keys that were (or could have been) live at `from`
+    deleteKeys.foreach(k => assert(!toState.contains(k)))
+  }
+
+  test("late event with an OLD LSN that wins its key IS emitted " +
+      "(the case an lsn-watermark filter misses)") {
+    val table = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 4)
+    // from-state: maxLsn = 100
+    MergeApply.applyBatch(table, batch(ev(100, "I", "a", 1, "a1")), 0L)
+    val fromId = table.current.id
+    // window: brand-new key (c,3) arrives LATE with lsn 7 << 100 and wins
+    // (nothing newer exists for it); (a,1) untouched
+    MergeApply.applyBatch(table, batch(ev(7, "I", "c", 3, "late")), 1L)
+    assert(changes(table, fromId) ==
+      Seq(("c", 3, Some("late"), "UPSERT")))
+  }
+
+  test("delete emits a DELETE row; an unchanged-winner key is NOT emitted " +
+      "even when its bucket was rewritten") {
+    val table = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 1)
+    // one bucket: every commit rewrites it, so pruning alone can't save
+    // unchanged keys — the (key, lsn) anti-join must
+    MergeApply.applyBatch(table, batch(
+      ev(10, "I", "a", 1, "a1"), ev(20, "I", "b", 2, "b1")), 0L)
+    val fromId = table.current.id
+    MergeApply.applyBatch(table, batch(
+      ev(30, "D", "a", 1, ""), ev(15, "U", "b", 2, "stale-loses")), 1L)
+    assert(changes(table, fromId) == Seq(("a", 1, None, "DELETE")))
+  }
+
+  test("pure compaction between snapshots yields an empty window") {
+    val table = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 4)
+    MergeApply.applyBatch(table, batch(
+      ev(1, "I", "a", 1, "a1"), ev(2, "I", "b", 2, "b1"),
+      ev(3, "U", "a", 1, "a2")), 0L)
+    val fromId = table.current.id
+    table.compact(maxFilesPerBucket = 0)
+    assert(table.current.id > fromId)
+    assert(changes(table, fromId) == Seq.empty)
+  }
+
+  test("tombstone GC'd inside the window still surfaces as a DELETE; " +
+      "a key already dead at `from` does not") {
+    val table = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 4)
+    MergeApply.applyBatch(table, batch(
+      ev(10, "I", "a", 1, "a1"), ev(20, "D", "b", 2, "")), 0L)
+    val fromId = table.current.id // (a,1) live; (b,2) already a tombstone
+    MergeApply.applyBatch(table, batch(ev(30, "D", "a", 1, "")), 1L)
+    // GC both tombstones: (a,1)'s delete happened INSIDE the window and
+    // must survive as a change; (b,2)'s GC is not a change
+    table.compact(maxFilesPerBucket = 0, dropTombstonesBelowLsn = 1000L)
+    assert(changes(table, fromId) == Seq(("a", 1, None, "DELETE")))
+  }
+
+  test("changedBuckets prunes to exactly the touched buckets") {
+    val table = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 16)
+    MergeApply.applyBatch(table, batch(
+      (0 until 32).map(i => ev(i + 1L, "I", s"conv-$i", 0, s"t$i")): _*), 0L)
+    val from = table.current
+    // second batch touches only conv-0's bucket
+    MergeApply.applyBatch(table, batch(ev(100, "U", "conv-0", 0, "t0v2")), 1L)
+    val to = table.current
+    val expected = Set(MergeApply.bucketOf(lit("conv-0"), 16))
+      .map(c => spark.range(1).select(c).collect()(0).getInt(0))
+    assert(table.changedBuckets(from, to) == expected)
+  }
+}
