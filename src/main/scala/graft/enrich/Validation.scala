@@ -37,7 +37,18 @@ object Validation {
       r.flag -> coalesce(checks.reduceOption(_ || _).getOrElse(lit(false)), lit(false))
     }
 
-  /** True when any rule is violated — the quarantine/filter predicate. */
+  /** True when any rule is violated — the quarantine/filter predicate.
+    * Built from the RAW comparisons, NOT the coalesced flag columns: in a
+    * filter, a null predicate drops the row exactly like false does, and
+    * the bare `<`/`>`/`OR` tree is source-convertible so the violation
+    * scan pushes down to parquet row-group pruning — wrapping in
+    * `coalesce` (needed only for PROJECTED flags, where three-valued
+    * logic would leak downstream) blocks that conversion and turns the
+    * scan into a full read (PlanAudit asserts PushedFilters on p6).
+    */
   def anyViolation(rules: Seq[RangeRule]): Column =
-    rangeFlags(rules).map(_._2).reduceOption(_ || _).getOrElse(lit(false))
+    rules.flatMap { r =>
+      val c = col(r.column)
+      r.min.map(m => c < lit(m)).toSeq ++ r.max.map(m => c > lit(m))
+    }.reduceOption(_ || _).getOrElse(lit(false))
 }

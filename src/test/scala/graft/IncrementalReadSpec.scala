@@ -136,6 +136,37 @@ class IncrementalReadSpec extends AnyFunSuite {
     assert(changes(table, fromId) == Seq(("a", 1, None, "DELETE")))
   }
 
+  test("a follower consuming every per-snapshot window converges to the " +
+      "source table (explicit toSnapshotId, maintenance snapshots included)") {
+    import spark.implicits._
+    val cfg = GenConfig(numConvs = 30, maxTurns = 15, numEvents = 1200)
+    val table = LakeTable.create(spark, tmp(), schemaVer = 1, numBuckets = 8)
+    val per = cfg.totalRows / 3
+    (0 until 3).foreach { b =>
+      MergeApply.applyBatch(table,
+        ChangeGen.eventSlice(spark, cfg, b * per,
+          math.min(cfg.totalRows, (b + 1) * per)).toDF(), b.toLong)
+      if (b == 1) table.compact(maxFilesPerBucket = 1)
+    }
+    // follower: key → text copy, advanced one snapshot window at a time
+    var follower = Map.empty[(String, Long), String]
+    val ids = table.snapshotIds
+    ids.zip(ids.tail).foreach { case (prev, next) =>
+      table.readChangesSince(prev, next)
+        .select($"conv_id", $"turn_idx".cast("long"), $"text", $"change_type")
+        .as[(String, Long, String, String)].collect()
+        .foreach {
+          case (c, t, txt, "UPSERT") => follower += ((c, t) -> txt)
+          case (c, t, _, _) => follower -= ((c, t))
+        }
+    }
+    val source = table.read()
+      .select($"conv_id", $"turn_idx".cast("long"), $"text")
+      .as[(String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(follower == source)
+  }
+
   test("changedBuckets prunes to exactly the touched buckets") {
     val table = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 16)
     MergeApply.applyBatch(table, batch(
