@@ -273,12 +273,21 @@ final class LakeTable(
     * Delta-carrying buckets (merge-on-read) are LWW-resolved per key; pure
     * base buckets pass through with no shuffle.
     */
-  def read(): DataFrame = {
-    val snap = current
+  def read(): DataFrame = readPublic(current)
+
+  /** Time-travel read: the table AS OF `snapshotId` — same public shape
+    * as [[read]] (live rows only, internal columns dropped, that
+    * snapshot's schema version). Any kept snapshot id works (commits,
+    * maintenance, pre-compaction states); bounded by retention —
+    * [[expireSnapshots]] must still keep the snapshot and its files, the
+    * same contract [[readChangesSince]]'s `from` side carries.
+    */
+  def readAt(snapshotId: Long): DataFrame = readPublic(snapshot(snapshotId))
+
+  private def readPublic(snap: Snapshot): DataFrame =
     readResolved(snap, None)
       .filter(!col("_deleted"))
       .select(registry(snap.schemaVer).fieldNames.map(col).toSeq: _*)
-  }
 
   /** Internal read (merge path): ALL stored row versions incl. tombstones +
     * `_lsn`/`_deleted`, restricted to `buckets` when given (copy-on-write

@@ -167,6 +167,23 @@ class IncrementalReadSpec extends AnyFunSuite {
     assert(follower == source)
   }
 
+  test("readAt time-travels: the bookmarked state reads back exactly " +
+      "after later commits and compaction") {
+    import spark.implicits._
+    val table = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 4)
+    MergeApply.applyBatch(table, batch(
+      ev(1, "I", "a", 1, "a1"), ev(2, "I", "b", 2, "b1")), 0L)
+    val bookmark = table.current.id
+    val before = table.read().collect().map(_.toSeq).toSet
+    MergeApply.applyBatch(table, batch(
+      ev(10, "U", "a", 1, "a2"), ev(11, "D", "b", 2, ""),
+      ev(12, "I", "c", 3, "c1")), 1L)
+    table.compact(maxFilesPerBucket = 0)
+    assert(table.readAt(bookmark).collect().map(_.toSeq).toSet == before)
+    assert(table.readAt(bookmark).count() == 2)
+    assert(table.read().count() == 2) // a2 + c1, b deleted
+  }
+
   test("changedBuckets prunes to exactly the touched buckets") {
     val table = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 16)
     MergeApply.applyBatch(table, batch(

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fast plan-shape regression tests: the scale-critical physical-plan
+  * properties `graft.PlanAudit` asserts, pinned in `sbt test` so a source
+  * change cannot silently deoptimize a scan between audit runs (the
+  * round-4 config-driven validation rewrite did exactly that — wrapped
+  * the p6 filter in a non-convertible coalesce and lost parquet pushdown;
+  * only the out-of-band audit caught it). Construction-only — no query
+  * executes, so the whole suite costs plan compilation, not I/O.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local(8, appName = "planshape-spec")
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("p6: the violation filter pushes down to the parquet scan") {
+    assert(plan("p6_range_flags").contains("PushedFilters: ["))
+  }
+
+  test("j1: both dimensions broadcast in the star join") {
+    assert("BroadcastHashJoin".r.findAllIn(plan("j1_star_join")).size >= 2)
+  }
+
+  test("j5: the dedup is a real anti-join, no cartesian") {
+    val p = plan("j5_anti_join_dedup")
+    assert(p.contains("LeftAnti") && !p.contains("CartesianProduct"))
+  }
+
+  test("w1: top-k plans as TakeOrderedAndProject, not global sort") {
+    assert(plan("w1_ranked_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q1: aggregation is partial (map-side combine) with a pruned scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"))
+    assert(p.linesIterator.find(_.contains("ReadSchema"))
+      .forall(l => l.count(_ == ',') <= 4))
+  }
+}
