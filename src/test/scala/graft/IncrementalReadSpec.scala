@@ -167,6 +167,22 @@ class IncrementalReadSpec extends AnyFunSuite {
     assert(follower == source)
   }
 
+  test("merge-on-read window: unresolved delta files LWW-resolve inside " +
+      "the diff (winner correct, losers absent)") {
+    val table = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 1)
+    MergeApply.applyBatch(table, batch(
+      ev(10, "I", "a", 1, "a1"), ev(20, "I", "b", 2, "b1")), 0L)
+    val fromId = table.current.id
+    // two MoR delta appends touch (a,1) twice — the diff must emit the
+    // resolved winner once, not one row per delta version
+    MergeApply.applyBatch(table, batch(ev(30, "U", "a", 1, "a2")), 1L,
+      strategy = graft.cdc.WriteStrategy.MergeOnRead)
+    MergeApply.applyBatch(table, batch(
+      ev(40, "U", "a", 1, "a3"), ev(15, "U", "b", 2, "stale-loses")), 2L,
+      strategy = graft.cdc.WriteStrategy.MergeOnRead)
+    assert(changes(table, fromId) == Seq(("a", 1, Some("a3"), "UPSERT")))
+  }
+
   test("readAt time-travels: the bookmarked state reads back exactly " +
       "after later commits and compaction") {
     import spark.implicits._
