@@ -377,6 +377,9 @@ final class LakeTable(
     val from = snapshot(fromSnapshotId)
     require(from.numBuckets == to.numBuckets,
       s"bucket count changed between snapshots: ${from.numBuckets} -> ${to.numBuckets}")
+    require(from.id <= to.id,
+      s"changes window is forward-only: from snapshot ${from.id} > to ${to.id} " +
+        "(an undo diff would invert the vanished-key DELETE semantics silently)")
     val bs = changedBuckets(from, to)
     val joinKey = keyCols :+ "_lsn"
     val fromRows = readResolved(from, Some(bs))
