@@ -454,7 +454,11 @@ final class LakeTable(
       mergeMs: Long = -1L,
       batchHash: Option[Long] = None,
       baseSnapshotId: Long = -1L,
-      derivedBuckets: Set[Int] = Set.empty): CommitResult = synchronized {
+      derivedBuckets: Set[Int] = Set.empty,
+      // Set ONLY by [[rebucket]]: the commit re-routes every row, so
+      // `newFiles` carry NEW-layout bucket ids and the snapshot records
+      // the new count (replacedBuckets still names OLD-layout buckets).
+      newNumBuckets: Option[Int] = None): CommitResult = synchronized {
     var attempt = 0
     while (attempt <= maxCommitRetries) {
       val cur = current
@@ -494,12 +498,13 @@ final class LakeTable(
         if (allFiles.exists(_.kind == FileEntry.Delta)) -1L
         else if (allFiles.forall(_.live >= 0L)) allFiles.map(_.live).sum
         else cur.rows + rowDelta
+      val nb = newNumBuckets.getOrElse(cur.numBuckets)
       val snap = Snapshot(
         id = cur.id + 1,
         parent = cur.id,
         epochId = if (epochId >= 0) epochId else cur.epochId,
         schemaVer = math.max(schemaVer, cur.schemaVer),
-        numBuckets = cur.numBuckets,
+        numBuckets = nb,
         rows = rows,
         maxLsn = math.max(maxLsnSeen, cur.maxLsn),
         files = allFiles,
@@ -522,8 +527,8 @@ final class LakeTable(
         maint = epochId < 0,
         touched = Some((replacedBuckets ++ newFiles.map(_.bucket)).toSeq.distinct.sorted),
         groupRefs =
-          if (!sharded(cur.numBuckets)) Nil
-          else shardGroupRefs(cur, allFiles, replacedBuckets, newFiles))
+          if (!sharded(nb)) Nil
+          else shardGroupRefs(cur, allFiles, replacedBuckets, newFiles, nb))
       if (writeStringExclusive(fs, snapPath(snap.id), manifestJson(snap))) {
         swapCurrent(snap.id)
         return CommitResult(snap, applied = true)
@@ -550,19 +555,30 @@ final class LakeTable(
     * [[expireSnapshots]].
     */
   private def shardGroupRefs(cur: Snapshot, allFiles: Seq[FileEntry],
-      replacedBuckets: Set[Int], newFiles: Seq[FileEntry]): Seq[GroupRef] = {
-    val gsz = groupSize(cur.numBuckets)
+      replacedBuckets: Set[Int], newFiles: Seq[FileEntry],
+      numBuckets: Int): Seq[GroupRef] = {
+    val gsz = groupSize(numBuckets)
     val touched = (replacedBuckets.iterator ++ newFiles.iterator.map(_.bucket))
       .map(_ / gsz).toSet
     // Inline→sharded migration: a parent written in the inline format (or
     // pre-sharding) has no groupRefs to carry forward — on the FIRST
     // sharded commit every group holding files must be materialized, else
     // the untouched groups' files silently vanish from the persisted
-    // snapshot (and the next expiry would GC their data as orphans).
+    // snapshot (and the next expiry would GC their data as orphans). A
+    // BUCKET-COUNT change (rebucket) re-materializes everything too: the
+    // parent's refs are grouped by the OLD group size, so none can carry
+    // forward (the rebucket replaced every file anyway).
     val changed =
-      if (cur.groupRefs.isEmpty) touched ++ allFiles.iterator.map(_.bucket / gsz).toSet
+      if (cur.groupRefs.isEmpty || numBuckets != cur.numBuckets)
+        touched ++ allFiles.iterator.map(_.bucket / gsz).toSet
       else touched
-    val kept = cur.groupRefs.filterNot(r => changed.contains(r.g))
+    // On a bucket-count change NO parent ref may survive — its group id is
+    // in the OLD layout's numbering; an id that happens to miss `changed`
+    // (a new-layout group holding no files) would resurrect old-layout
+    // files into the rebucketed snapshot.
+    val kept =
+      if (numBuckets != cur.numBuckets) Nil
+      else cur.groupRefs.filterNot(r => changed.contains(r.g))
     val byGroup = allFiles.groupBy(_.bucket / gsz)
     val fresh = changed.toSeq.sorted.flatMap { g =>
       byGroup.get(g).map { fes =>
@@ -946,6 +962,39 @@ final class LakeTable(
     val files = writeDataFiles(df.repartition(math.max(1, fat.size), col("_bucket")), cur.schemaVer)
     commit(files, fat, epochId = -1, schemaVer = cur.schemaVer, rowDelta = 0L,
       maxLsnSeen = cur.maxLsn, baseSnapshotId = cur.id)
+  }
+
+  /** Change the table's bucket count — the scale-lifecycle operation a
+    * fixed-at-creation B would otherwise cap (a table that starts at 64
+    * buckets and grows toward 100 TB needs 4096: per-bucket CoW rewrite
+    * volume, file counts, and merge parallelism all key off B). One full
+    * resolved rewrite (every row re-routes through the bucket transform —
+    * there is no cheaper correct path: the bucket function changes for
+    * every key), committed as ONE maintenance snapshot: readers see the
+    * old layout until the commit lands, a crash leaves the old snapshot
+    * intact, and a concurrent committer conflicts LOUDLY (the rebucket's
+    * write set is every bucket). Unresolved merge-on-read deltas fold in
+    * (the rewrite is LWW-resolved); tombstones are preserved. Crossing
+    * [[LakeTable.shardBucketThreshold]] in either direction migrates the
+    * manifest format automatically. Incremental consumers must
+    * re-baseline: [[readChangesSince]] windows cannot span a bucket-count
+    * change (it rejects them), matching Iceberg's own partition-spec
+    * evolution caveat for changelog reads.
+    */
+  def rebucket(newNumBuckets: Int): CommitResult = {
+    require(newNumBuckets > 0, s"bucket count must be positive: $newNumBuckets")
+    val cur = current
+    if (newNumBuckets == cur.numBuckets) return CommitResult(cur, applied = false)
+    val df = readResolved(cur, None)
+      .withColumn("_bucket",
+        graft.cdc.MergeApply.bucketOf(col(keyCols.head), newNumBuckets))
+    val parts = math.min(newNumBuckets,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val files = writeDataFiles(
+      df.repartition(math.max(1, parts), col("_bucket")), cur.schemaVer)
+    commit(files, (0 until cur.numBuckets).toSet, epochId = -1,
+      schemaVer = cur.schemaVer, rowDelta = 0L, maxLsnSeen = cur.maxLsn,
+      baseSnapshotId = cur.id, newNumBuckets = Some(newNumBuckets))
   }
 
   /** Expire all but the last `keepLast` snapshots and GC data files no kept
