@@ -43,7 +43,8 @@ object SparkEntry {
       dumpDir: Option[String] = None,
       strategy: graft.cdc.WriteStrategy = graft.cdc.WriteStrategy.CopyOnWrite,
       compactMidway: Boolean = false,
-      expireMaintenance: Boolean = false): DataFrame = {
+      expireMaintenance: Boolean = false,
+      rebucketMidway: Option[Int] = None): DataFrame = {
     val cfg = GenConfig(numEvents = events)
     dumpDir.foreach(d =>
       ChangeGen.events(spark, cfg).toDF().coalesce(1).write.mode("overwrite").parquet(d))
@@ -64,6 +65,10 @@ object SparkEntry {
         table.compact(maxFilesPerBucket = 1)
         table.expireSnapshots(keepLast = 1, orphanGraceMs = 0L)
       }
+      // Bucket-count evolution mid-replay: later epochs merge into the
+      // re-routed layout; the final state must be invariant to it.
+      if (rebucketMidway.isDefined && b == batches / 2 - 1)
+        table.rebucket(rebucketMidway.get)
     }
     // post-replay expiry: the final read below runs over a fully GC'd table
     if (expireMaintenance) table.expireSnapshots(keepLast = 1, orphanGraceMs = 0L)
@@ -121,6 +126,11 @@ object SparkEntry {
 
   private val insertOnlyDump = "/tmp/graft_oracle/cdc_change_events_m4i"
   private val updateOnlyDump = "/tmp/graft_oracle/cdc_change_events_m4u"
+
+  private val rebucketDump = "/tmp/graft_oracle/cdc_change_events_rbk"
+
+  private def rebucketOracle: String =
+    cdcReplayOracle.replace(changeLogDump, rebucketDump)
 
   private val changesDump = "/tmp/graft_oracle/cdc_change_events_chg"
 
@@ -238,7 +248,12 @@ object SparkEntry {
           modeReplay(s, graft.cdc.MergeMode.UpdateOnly, updateOnlyDump))) +
       // CDC-out: incremental changelog read between two snapshots
       ("cdc_changes_since" ->
-        ((s: SparkSession, _: String) => changesSinceReplay(s)))
+        ((s: SparkSession, _: String) => changesSinceReplay(s))) +
+      // Bucket-count evolution mid-replay: 8 → 32 buckets between epochs,
+      // final state invariant under the same LWW oracle.
+      ("cdc_replay_rebucket" ->
+        ((s: SparkSession, _: String) => cdcReplay(s, 2000L, 4, Some(rebucketDump),
+          rebucketMidway = Some(32))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -250,6 +265,7 @@ object SparkEntry {
       ("cdc_replay_expire" -> expireOracle) +
       ("m4_insert_only" -> insertOnlyOracle) +
       ("m4_update_only" -> updateOnlyOracle) +
-      ("cdc_changes_since" -> changesSinceOracle))
+      ("cdc_changes_since" -> changesSinceOracle) +
+      ("cdc_replay_rebucket" -> rebucketOracle))
       .map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
