@@ -147,10 +147,14 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   *   - Data is hidden-partitioned by `bucket = pmod(xxhash64(conv_id), B)`
   *     so a micro-batch's copy-on-write rewrites only touched buckets,
   *     bounding write amplification on hot conversations; B is sized at
-  *     table creation (tests use 16-64, a 100 TB table would use 4096+).
-  *   - The manifest is a single JSON per snapshot. At 4096 buckets with
-  *     compaction keeping O(1) files per bucket this stays in the low MBs;
-  *     an Iceberg-style manifest-list split is the documented growth path.
+  *     table creation (tests use 16-64, a 100 TB table would use 4096+)
+  *     and evolved later with [[rebucket]] when the table outgrows it.
+  *   - Tables up to [[LakeTable.shardBucketThreshold]] buckets keep file
+  *     entries inline in one JSON per snapshot; larger tables use the
+  *     SHARDED format (Iceberg manifest-list shape): per-bucket-group
+  *     manifest files referenced from the snapshot, rewritten only for
+  *     the groups a commit touches — snapshot JSON and per-commit
+  *     metadata writes stay O(buckets touched) regardless of table size.
   *   - Commits are metadata-only renames — O(1) regardless of data size.
   *   - All paths go through Hadoop `FileSystem`, so `root` may be file://,
   *     hdfs://, etc. `_current` swap uses `FileContext.rename(OVERWRITE)`,
