@@ -37,9 +37,11 @@ object PlanAudit {
     // EXECUTED plan (AQE's formatted pre-execution plan hides codegen spans)
     audit("q1_agg",
       "partial aggregation" -> (_.contains("partial_sum")),
+      // exists+check, not forall: a plan format without a ReadSchema line
+      // must fail the audit, not pass it vacuously
       "column-pruned scan (<=4 data cols)" ->
         (p => p.linesIterator.find(_.contains("ReadSchema"))
-          .forall(l => l.count(_ == ',') <= 4)))
+          .exists(l => l.count(_ == ',') <= 4)))
     locally {
       val df = SparkEntry.queries("q1_agg")(spark, dir)
       df.collect() // executes THIS plan (count() would wrap a new one)

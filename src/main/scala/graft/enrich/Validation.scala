@@ -23,18 +23,26 @@ object Validation {
       max: Option[Double],
       flag: String)
 
+  /** The raw comparison tree of one rule — the SINGLE definition both the
+    * projected flags and the filter predicate build on, so the two can
+    * never flag different rows (bound-semantics drift between them would
+    * desynchronize p6's filter from its flag columns silently).
+    */
+  private def rawChecks(r: RangeRule): Seq[Column] = {
+    val c = col(r.column)
+    r.min.map(m => c < lit(m)).toSeq ++ r.max.map(m => c > lit(m))
+  }
+
   /** Violation flag columns, one per rule — p6's validation shape built
     * from config data.
     */
   def rangeFlags(rules: Seq[RangeRule]): Seq[(String, Column)] =
     rules.map { r =>
-      val c = col(r.column)
-      val checks = r.min.map(m => c < lit(m)).toSeq ++ r.max.map(m => c > lit(m))
       // coalesce to an EXPLICIT false on null input: a null comparison
       // yields null, filter(null) silently passes the row as valid, and a
       // three-valued flag column leaks downstream — a null value is "no
       // violation detected", stated as false, not as unknown
-      r.flag -> coalesce(checks.reduceOption(_ || _).getOrElse(lit(false)), lit(false))
+      r.flag -> coalesce(rawChecks(r).reduceOption(_ || _).getOrElse(lit(false)), lit(false))
     }
 
   /** True when any rule is violated — the quarantine/filter predicate.
@@ -47,8 +55,5 @@ object Validation {
     * scan into a full read (PlanAudit asserts PushedFilters on p6).
     */
   def anyViolation(rules: Seq[RangeRule]): Column =
-    rules.flatMap { r =>
-      val c = col(r.column)
-      r.min.map(m => c < lit(m)).toSeq ++ r.max.map(m => c > lit(m))
-    }.reduceOption(_ || _).getOrElse(lit(false))
+    rules.flatMap(rawChecks).reduceOption(_ || _).getOrElse(lit(false))
 }

@@ -356,8 +356,8 @@ final class LakeTable(
     * copy of snapshot `from` reaches snapshot `to` exactly; consuming
     * every commit's window replays the table as a change stream.
     *
-    * Exactness: the diff anti-joins `to`-winners against `from`-winners on
-    * (key, `_lsn`) — NOT an LSN high-watermark filter. A watermark misses
+    * Exactness: the diff compares `to`-winners against `from`-winners by
+    * winning `_lsn` per key — NOT an LSN high-watermark filter. A watermark misses
     * the late-arrival case the generator's bounded inversions produce: an
     * event with an OLD LSN that still wins its key (the key had nothing
     * newer) changes the table while staying under `from.maxLsn`. Keys
@@ -368,9 +368,10 @@ final class LakeTable(
     * any incremental consumer still needs (Iceberg's own rule that delete
     * files outlive incremental readers).
     *
-    * Scale shape: reads only [[changedBuckets]] at BOTH snapshots; the
-    * `from` side carries only (key, `_lsn`) into the join, so the diff
-    * costs O(changed-bucket rows) I/O and one co-keyed shuffle — per-epoch
+    * Scale shape: reads only [[changedBuckets]] at BOTH snapshots, ONCE
+    * each; the `from` side carries only (key, `_lsn`, `_deleted`) into one
+    * full-outer join, so the diff costs one scan per side plus one
+    * co-keyed shuffle — per-epoch
     * windows on a bucketed 100 TB table touch a few buckets, not the
     * table. Retention: `from`'s manifest and data files must still exist
     * (run [[expireSnapshots]] with `keepLast` covering the oldest
@@ -385,26 +386,29 @@ final class LakeTable(
       s"changes window is forward-only: from snapshot ${from.id} > to ${to.id} " +
         "(an undo diff would invert the vanished-key DELETE semantics silently)")
     val bs = changedBuckets(from, to)
-    val joinKey = keyCols :+ "_lsn"
-    val fromRows = readResolved(from, Some(bs))
-    val toRows = readResolved(to, Some(bs))
+    // ONE full-outer join on the key carries all three cases in a single
+    // pass over each side (one scan each, one co-keyed shuffle — a
+    // separate reverse anti-join for the vanished case would scan both
+    // sides twice): the `from` side contributes only (key, _lsn, _deleted)
+    //   - to-winner with a different (or no) from-lsn  → UPSERT / DELETE
+    //   - same (key, lsn) on both sides               → unchanged, dropped
+    //   - from-key with NO to-row (tombstone GC'd mid-window) → DELETE
+    //     with null payload, but only if LIVE at `from` — a key already
+    //     dead there was already dead to the consumer
+    val fromSide = readResolved(from, Some(bs))
+      .select(keyCols.map(col) :+ col("_lsn").as("_from_lsn") :+
+        col("_deleted").as("_from_deleted"): _*)
     val publicCols = registry(to.schemaVer).fieldNames.toSeq
-    val changed = toRows
-      .join(fromRows.select(joinKey.map(col): _*), joinKey, "left_anti")
+    readResolved(to, Some(bs))
+      .join(fromSide, keyCols, "full_outer")
+      .filter(
+        (col("_lsn").isNotNull &&
+          (col("_from_lsn").isNull || col("_from_lsn") =!= col("_lsn"))) ||
+        (col("_lsn").isNull && !col("_from_deleted")))
       .withColumn("change_type",
-        when(col("_deleted"), lit("DELETE")).otherwise(lit("UPSERT")))
+        when(col("_lsn").isNull || col("_deleted"), lit("DELETE"))
+          .otherwise(lit("UPSERT")))
       .select(publicCols.map(col) :+ col("change_type"): _*)
-    // keys whose very ROW vanished (tombstone GC'd mid-window): key-only
-    // anti-join the other way, emitted as null-payload DELETEs. Only keys
-    // LIVE at `from` count — a key that was already a tombstone there was
-    // already dead to the consumer, so its GC is not a change.
-    val vanished = fromRows.filter(!col("_deleted")).select(keyCols.map(col): _*)
-      .join(toRows.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .select(publicCols.map(n =>
-        if (keyCols.contains(n)) col(n)
-        else lit(null).cast(registry(to.schemaVer)(n).dataType).as(n)) :+
-        lit("DELETE").as("change_type"): _*)
-    changed.unionByName(vanished)
   }
 
   private def readFiles(wanted: Seq[FileEntry], targetVer: Int): DataFrame = {
@@ -481,6 +485,25 @@ final class LakeTable(
         System.err.println(s"[lake] content-hash fence: writer '$writerId' epoch $epochId " +
           s"re-delivered an already-applied batch (hash ${batchHash.get}) — commit skipped")
         return CommitResult(cur, applied = false)
+      }
+      // Layout check FIRST, and for EVERY commit that moved — including
+      // append-only (merge-on-read) commits, which otherwise rebase
+      // unconditionally: `newFiles` bucket ids were computed with the BASE
+      // snapshot's bucket transform, so if a rebucket landed in between,
+      // registering them would plant old-layout ids in a new-layout
+      // snapshot and bucket-pruned reads would silently miss those rows.
+      // An unreadable (expired) base conflicts too: a commit derived from
+      // a snapshot that retention already dropped cannot prove its layout.
+      if (baseSnapshotId >= 0 && cur.id != baseSnapshotId) {
+        val baseNb =
+          try LakeTable.parseManifest(readString(fs, snapPath(baseSnapshotId))).numBuckets
+          catch { case scala.util.control.NonFatal(_) => -1 }
+        if (baseNb != cur.numBuckets)
+          throw new CommitConflictException(
+            s"commit by writer '$writerId' at $root derived its files from snapshot " +
+              s"$baseSnapshotId (numBuckets=$baseNb) but the table is now at " +
+              s"numBuckets=${cur.numBuckets} — bucket layout changed (or the base " +
+              "expired); re-read and re-derive")
       }
       // Serializable check for commits whose content depends on table
       // state: if the table moved past the snapshot we derived from, every

@@ -42,7 +42,10 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q1: aggregation is partial (map-side combine) with a pruned scan") {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum"))
-    assert(p.linesIterator.find(_.contains("ReadSchema"))
-      .forall(l => l.count(_ == ',') <= 4))
+    // the ReadSchema line must EXIST (a missing line means the plan format
+    // changed and this check would otherwise pass vacuously) and be narrow
+    val rs = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(rs.isDefined, "no ReadSchema line in the formatted plan")
+    assert(rs.get.count(_ == ',') <= 4)
   }
 }

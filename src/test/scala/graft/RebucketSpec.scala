@@ -98,6 +98,25 @@ class RebucketSpec extends AnyFunSuite {
     assert(state(table).exists(r => r.head == "conv-0" && r.contains("v2")))
   }
 
+  test("a commit derived from the pre-rebucket layout conflicts loudly — " +
+      "even an append-only one, which otherwise rebases unconditionally") {
+    import org.apache.spark.sql.functions.col
+    val table = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 4)
+    MergeApply.applyBatch(table, batch(ev(1, "I", "a", 1, "a1")), 0L)
+    val base = table.current
+    // delta files routed with the OLD (4-bucket) transform, derived from base
+    val df = table.readResolved(base, None)
+      .withColumn("_bucket", MergeApply.bucketOf(col("conv_id"), 4))
+    val files = table.writeDataFiles(df, base.schemaVer, kind = FileEntry.Delta)
+    assert(table.rebucket(16).applied) // concurrent layout change wins
+    // the append must NOT register old-layout bucket ids into the
+    // 16-bucket snapshot (bucket-pruned reads would miss those rows)
+    intercept[graft.lake.CommitConflictException] {
+      table.commit(files, Set.empty, epochId = 1, schemaVer = base.schemaVer,
+        rowDelta = 0L, maxLsnSeen = 1L, baseSnapshotId = base.id)
+    }
+  }
+
   test("rebucket folds merge-on-read deltas and changelog windows cannot " +
       "span the bucket-count change") {
     val table = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 4)
