@@ -200,7 +200,11 @@ object PlanAudit {
       Seq(
         "scan restricted to the changed buckets" ->
           (scanned.nonEmpty && scanned.subsetOf(changed) && changed.size < 16),
-        "winner diff is an anti-join" -> plan.contains("LeftAnti"),
+        // the whole diff rides ONE full-outer winner join — a second join
+        // (the old reverse anti-join) would double changed-bucket scans
+        "winner diff is a single full-outer join" ->
+          (plan.contains("FullOuter") &&
+            """\(\d+\) \w*(Join|CartesianProduct)""".r.findAllIn(plan).size == 1),
         "no cartesian product" -> !plan.contains("CartesianProduct"))
         .foreach { case (what, ok) =>
           if (!ok) failures += 1
