@@ -54,14 +54,29 @@ object CdcStream {
       compactEveryEpochs: Int = 0,
       retry: RetryPolicy = RetryPolicy.default)
 
-  /** Stream identity for epoch fencing: stable across restarts of the SAME
-    * checkpoint (epochIds are scoped to a checkpoint), different for a
-    * fresh checkpoint — the (txnAppId, version)-style pair Delta uses.
+  /** Stream identity for epoch fencing: a UUID minted on first use and
+    * persisted INSIDE the checkpoint (`<checkpoint>/graft-writer-id`) —
+    * the (txnAppId, version)-style identity Delta keeps in its own
+    * checkpoint state. Stable across restarts of the SAME checkpoint
+    * (epochIds are scoped to a checkpoint); a WIPED or fresh checkpoint
+    * mints a new id. Hashing the checkpoint PATH (the previous scheme)
+    * breaks exactly the wipe case: a checkpoint deleted for corruption
+    * recovery and re-created at the same path restarts epochs at 0 under
+    * the OLD identity, so its first epochs fall under the old watermark
+    * and genuinely new batches are silently fenced — data loss with no
+    * error. Create-exclusive write settles concurrent first starts; the
+    * loser reads the winner's id.
     */
   def writerIdOf(checkpointDir: String): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    "w-" + d.take(6).map(b => f"$b%02x").mkString
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft-writer-id")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.exists(p)) return LakeTable.readString(fs, p).trim
+    val fresh = "w-" + java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    fs.mkdirs(p.getParent)
+    // same atomic-claim primitive the snapshot commits use (NIO CREATE_NEW
+    // on file://, where Hadoop's create(overwrite=false) is non-atomic)
+    if (LakeTable.writeStringExclusive(fs, p, fresh)) fresh
+    else LakeTable.readString(fs, p).trim
   }
 
   def start(
@@ -106,14 +121,19 @@ object CdcStream {
             // the lost write plan and are not recoverable from the
             // manifest; fabricating zeros would be worse than absence.)
             // Maintenance commits CARRY the epoch's stats forward but have
-            // their own snapshot id and post-maintenance row count — walk
-            // back to the epoch commit itself, else a crash after a
-            // scheduled compaction would re-attribute the epoch's lineage
-            // to the compaction snapshot. An expired walk target means the
-            // true stats are gone: skip (absence beats wrong attribution).
+            // their own snapshot id and post-maintenance row count — and a
+            // SECOND writer sharing the table (a first-class shape: LWW
+            // makes cross-writer applies safe) may have committed its own
+            // epochs on top before this replay runs. Walk parents past
+            // both until THIS writer's commit of THIS epoch is found; the
+            // walk is bounded by retention, and an expired / absent target
+            // means the true stats are gone: skip (absence beats wrong
+            // attribution).
             var cur = table.current
             var walkable = true
-            while (walkable && cur.maint && cur.parent >= 0)
+            while (walkable &&
+              !(!cur.maint && cur.epochId == epochId && cur.writerId == wid) &&
+              cur.parent >= 0)
               try cur = table.snapshot(cur.parent)
               catch { case scala.util.control.NonFatal(_) => walkable = false }
             if (walkable && !cur.maint && cur.epochId == epochId &&
@@ -170,32 +190,36 @@ object CdcStream {
     * field, else 1 in 10 epochs would silently record no lineage.
     */
   private def sourceFilesOf(spark: SparkSession, checkpointDir: String, epochId: Long): Seq[String] = {
-    try {
-      val dir = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/0")
-      val fs = dir.getFileSystem(hadoopConf(spark))
-      val plain = new org.apache.hadoop.fs.Path(dir, epochId.toString)
-      val compacted = new org.apache.hadoop.fs.Path(dir, s"$epochId.compact")
-      val (p, fromCompact) =
-        if (fs.exists(plain)) (plain, false)
-        else if (fs.exists(compacted)) (compacted, true)
-        else return Nil
-      val in = fs.open(p)
-      val content = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      def keep(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
-        !fromCompact || !n.has("batchId") || n.get("batchId").asLong() == epochId
-      content.linesIterator.filter(l => l.startsWith("{") || l.startsWith("["))
-        .flatMap { line =>
-          val n = mapper.readTree(line)
-          if (n.isArray)
-            (0 until n.size()).map(n.get).filter(keep)
-              .map(_.get("path").asText())
-          else if (n.has("path") && keep(n)) Seq(n.get("path").asText())
-          else Nil
-        }.toSeq
-    } catch { case _: Exception => Nil }
+    // Only a genuinely ABSENT offset-log entry maps to "no files" (an
+    // epoch the source wrote no entry for). Every other failure — a
+    // transient FS error opening/reading the log, a parse error — must
+    // PROPAGATE so the observability retry re-runs the phase: swallowing
+    // it here would record a permanent '<none>' lineage row (the
+    // overwrite-by-epoch emission makes that loss final) while Retry.run
+    // sees success; the same rule channel() states for its reads.
+    val dir = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/0")
+    val fs = dir.getFileSystem(hadoopConf(spark))
+    val plain = new org.apache.hadoop.fs.Path(dir, epochId.toString)
+    val compacted = new org.apache.hadoop.fs.Path(dir, s"$epochId.compact")
+    val (p, fromCompact) =
+      if (fs.exists(plain)) (plain, false)
+      else if (fs.exists(compacted)) (compacted, true)
+      else return Nil
+    val content =
+      try LakeTable.readString(fs, p)
+      catch { case _: java.io.FileNotFoundException => return Nil } // raced the compactor
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def keep(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      !fromCompact || !n.has("batchId") || n.get("batchId").asLong() == epochId
+    content.linesIterator.filter(l => l.startsWith("{") || l.startsWith("["))
+      .flatMap { line =>
+        val n = mapper.readTree(line)
+        if (n.isArray)
+          (0 until n.size()).map(n.get).filter(keep)
+            .map(_.get("path").asText())
+        else if (n.has("path") && keep(n)) Seq(n.get("path").asText())
+        else Nil
+      }.toSeq
   }
 
   /** One metrics row per applied (writer, epoch), written OVERWRITE into a
@@ -296,19 +320,31 @@ object CdcStream {
     * writer_id column (read back as null writer_id); a crash-window
     * replay after the upgrade re-emits the same epoch into
     * `_channel/<writer>/eN`, so without this filter monitoring would see
-    * the epoch twice (duplicated input_events in any aggregate). A legacy
-    * row survives only while no scoped row exists for its epoch — the
-    * overwrite-by-epoch exactly-once property, restated across layouts.
+    * the epoch twice (duplicated input_events in any aggregate).
+    *
+    * The supersede key is (epoch_id, snapshot_id), NOT epoch_id alone: a
+    * post-upgrade writer under a FRESH checkpoint restarts its epochs at
+    * 0, so a bare epoch match would hide legacy rows describing DIFFERENT
+    * batches that genuinely applied (undercounted aggregates). Only a
+    * re-emission of the SAME commit — same epoch AND same snapshot —
+    * duplicates a legacy row.
     */
   private def dropSupersededLegacy(df: DataFrame): DataFrame = {
+    val key = Seq("epoch_id", "snapshot_id")
     val scoped = df.filter(col("writer_id").isNotNull)
     val legacyLive = df.filter(col("writer_id").isNull)
-      .join(scoped.select(col("epoch_id")).distinct(), Seq("epoch_id"), "left_anti")
+      .join(scoped.select(key.map(col): _*).distinct(), key, "left_anti")
     scoped.unionByName(legacyLive.select(scoped.columns.map(col).toSeq: _*))
   }
 
+  /** QC rows are NEVER superseded across layouts: the crash-window replay
+    * deliberately does not re-emit QC (its observed values rode the lost
+    * write plan), so a scoped QC row for a legacy epoch id can only come
+    * from a DIFFERENT batch (a fresh-checkpoint writer reusing the
+    * number) — both rows are real and must both survive.
+    */
   def qc(spark: SparkSession, tableRoot: String): DataFrame =
-    dropSupersededLegacy(channel(spark, s"$tableRoot/_qc", qcSchema))
+    channel(spark, s"$tableRoot/_qc", qcSchema)
 
   private def emitLineage(spark: SparkSession, root: String, wid: String,
       s: BatchStats, sourceFiles: Seq[String]): Unit = {

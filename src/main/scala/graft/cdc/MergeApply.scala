@@ -9,14 +9,19 @@ import graft.model.Model
 
 /** M4 ▸ merge modes (reference: sp_merge_staging_to_production declares
   * @merge_type UPSERT | INSERT_ONLY | UPDATE_ONLY,
-  * Scripts/ETL_Framework_Implementation.sql:336-399). The mode gate
-  * applies at the EVENT level, before within-batch LSN dedup — the order
-  * row-by-row SQL MERGE produces: under INSERT_ONLY, I(k,1) then D(k,2)
-  * in one batch inserts k with the lsn-1 payload (the insert lands, the
-  * matched delete has no arm), which event-level gating reproduces and
-  * dedup-first would not (D would win the dedup and nothing would
-  * insert). The driver oracle (`m4_*` in SparkEntry) encodes exactly this
-  * order. LSN dedup then resolves among the ADMITTED events:
+  * Scripts/ETL_Framework_Implementation.sql:336-399). SET-ORIENTED
+  * semantics, stated precisely: the mode gate admits events by the key's
+  * liveness in the PRE-BATCH table state, then LWW resolves among the
+  * admitted events. This is deliberately NOT row-by-row SQL MERGE
+  * application — for a key with multiple admissible events per batch the
+  * two diverge (INSERT_ONLY over I(k,1),D(k,2),I(k,3): row-by-row lands
+  * the FIRST insert, lsn 1; this engine's max-LSN resolve lands lsn 3 —
+  * consistent with how the UPSERT path treats every batch). Event-level
+  * gating does preserve the one ordering interaction dedup-first would
+  * lose: I(k,1) then D(k,2) under INSERT_ONLY still inserts (the delete
+  * is dropped by the gate, not handed the dedup win). The driver oracle
+  * (`m4_*` in SparkEntry) encodes exactly these set-oriented semantics,
+  * gate-then-resolve. LSN dedup thus resolves among the ADMITTED events:
   *   - [[MergeMode.Upsert]]      matched → update/delete, unmatched → insert
   *   - [[MergeMode.InsertOnly]]  only keys with no LIVE current row are
   *                               inserted; deletes are dropped (no matched arm)

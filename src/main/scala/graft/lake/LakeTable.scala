@@ -486,6 +486,19 @@ final class LakeTable(
           s"re-delivered an already-applied batch (hash ${batchHash.get}) — commit skipped")
         return CommitResult(cur, applied = false)
       }
+      // The hash window is FIFO-capped: a checkpoint-swap redelivery
+      // backlog longer than maxBatchHashes would re-apply its evicted
+      // prefix undetected (double-applied ADD-merge stats, no error). The
+      // cap is an assumption, not an enforcement — so when an
+      // unestablished writer commits a hash-fenced batch while the window
+      // is saturated, say so loudly: the operator must size the cap to
+      // the source's retained backlog.
+      if (batchHash.isDefined && !establishedWriter(cur, writerId) &&
+        cur.batchHashes.size >= maxBatchHashes)
+        System.err.println(s"[lake] content-hash window SATURATED ($maxBatchHashes) while " +
+          s"unestablished writer '$writerId' commits epoch $epochId: a redelivery older " +
+          "than the window would double-apply undetected — ensure maxBatchHashes covers " +
+          "the source's retained backlog")
       // Layout check FIRST, and for EVERY commit that moved — including
       // append-only (merge-on-read) commits, which otherwise rebase
       // unconditionally: `newFiles` bucket ids were computed with the BASE
@@ -1066,13 +1079,43 @@ final class LakeTable(
     if (fs.exists(dataDir)) {
       val it = fs.listFiles(dataDir, true)
       val dead = mutable.ArrayBuffer[Path]()
+      val liveCommitDirs = mutable.Set[String]()
+      // The commit dir is the path segment directly under data/ — walk up
+      // to it rather than a fixed number of levels, because an IN-FLIGHT
+      // write's files sit deeper (c<ts>/_temporary/.../part-*.parquet) and
+      // must still protect their commit dir from the sweep below.
+      def commitDirOf(p: Path): String = {
+        var d = p.getParent
+        var name: String = null
+        while (d != null && d.getName != "data") { name = d.getName; d = d.getParent }
+        name
+      }
       while (it.hasNext) {
         val st = it.next()
         val p = st.getPath
-        if (p.getName.endsWith(".parquet") && !live.contains(p.toString) &&
-          st.getModificationTime < cutoff) dead += p
+        if (p.getName.endsWith(".parquet")) {
+          if (!live.contains(p.toString) && st.getModificationTime < cutoff) dead += p
+          else {
+            val cd = commitDirOf(p) // live, or a young possibly-in-flight orphan
+            if (cd != null) liveCommitDirs += cd
+          }
+        }
       }
       dead.foreach(p => fs.delete(p, false))
+      // Reclaim EMPTIED commit directories: every writeDataFiles call
+      // creates one c<ts>-<uuid> dir, so without this the data/ tree
+      // grows by one dir per epoch forever and each expiry's recursive
+      // listing walks an unbounded graveyard (an object store pays a
+      // LIST per prefix). A dir is deletable once it holds no live and no
+      // young (possibly in-flight) file and it predates the grace cutoff;
+      // a dir whose files were deleted JUST NOW has a refreshed mtime on
+      // POSIX and is reclaimed by the next expiry instead — one cycle
+      // late, never wrongly.
+      fs.listStatus(dataDir).foreach { st =>
+        if (st.isDirectory && !liveCommitDirs.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
     }
   }
 }
@@ -1315,7 +1358,7 @@ object LakeTable {
     * corrupted snapshot, not just a lost race. HDFS create(false) is
     * atomic at the namenode, so the Hadoop path is safe there.
     */
-  private[lake] def writeStringExclusive(fs: FileSystem, p: Path, s: String): Boolean =
+  private[graft] def writeStringExclusive(fs: FileSystem, p: Path, s: String): Boolean =
     if (fs.getScheme == "file")
       try {
         java.nio.file.Files.write(
@@ -1335,7 +1378,7 @@ object LakeTable {
         case e: java.io.IOException if fs.exists(p) => false
       }
 
-  private[lake] def readString(fs: FileSystem, p: Path): String = {
+  private[graft] def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
     finally in.close()

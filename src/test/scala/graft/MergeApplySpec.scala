@@ -148,6 +148,32 @@ class MergeApplySpec extends AnyFunSuite {
     // expiry keeps the table readable and GCs orphans
     table.expireSnapshots(keepLast = 1, orphanGraceMs = 0L)
     assert(finalState(table) == before)
+    // EMPTIED commit directories are reclaimed too (one dir accrues per
+    // writeDataFiles call — without cleanup the data/ tree and every
+    // later expiry's recursive listing grow without bound); only dirs
+    // still holding live files survive
+    val liveDirs = table.current.files
+      .map(f => new org.apache.hadoop.fs.Path(f.path).getParent.getParent.getName).toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(onDisk == liveDirs,
+      s"graveyard dirs survived expiry: ${(onDisk -- liveDirs).take(3)}")
+  }
+
+  test("writer identity lives in the checkpoint: stable across restarts, " +
+      "fresh after a wipe (no inherited epoch watermark)") {
+    val cp = tmp() + "/cp"
+    val a = graft.cdc.CdcStream.writerIdOf(cp)
+    assert(graft.cdc.CdcStream.writerIdOf(cp) == a) // restart, same checkpoint
+    val fs = new org.apache.hadoop.fs.Path(cp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(cp), true) // corruption recovery wipe
+    val b = graft.cdc.CdcStream.writerIdOf(cp)
+    // the re-created checkpoint restarts epochs at 0 — inheriting the old
+    // identity would fence its first epochs under the old watermark
+    assert(b != a)
   }
 
   test("schema v3 widening: turn_idx int32→int64, old files conform on read") {
