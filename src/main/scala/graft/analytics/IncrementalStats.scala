@@ -105,11 +105,16 @@ object IncrementalStats {
     * touches only buckets whose groups appear in the batch. Returns false
     * when fenced or empty.
     */
-  def applyBatch(table: LakeTable, delta: DataFrame, epochId: Long,
+  def applyBatch(table: LakeTable, delta0: DataFrame, epochId: Long,
       writerId: String = ""): Boolean = {
     val cur = table.current
     if (table.fenced(cur, epochId, writerId)) return false
     val b = cur.numBuckets
+    // The delta plan executes TWICE (head/content-hash aggregate, then the
+    // merged write) — cache it across the two consumers rather than
+    // recomputing the caller's (possibly expensive) derivation.
+    val delta = delta0.persist()
+    try {
     // Batch content hash over the RAW observation rows (folded from the
     // per-group `_hsum` sums deltas() carries — exact values, no float
     // recomputation), falling back to hashing the delta columns when the
@@ -122,8 +127,17 @@ object IncrementalStats {
     // redelivery on its own, no hash needed).
     val bhCol =
       if (delta.columns.contains("_hsum")) LakeTable.batchContentHashFromSums(col("_hsum"))
-      else LakeTable.batchContentHash(Seq(col("group_key"), col("k"), col("s1"),
-        col("s2"), col("st"), col("st2")))
+      else {
+        // Order-UNSTABLE fallback: hashing recomputed float aggregates can
+        // change across partition orders, so a redelivered batch may slip
+        // the fence and double-count. Loud at build time — callers should
+        // construct deltas via deltas() so the exact `_hsum` rides along.
+        System.err.println("[stats] delta lacks _hsum: content-hash fence falls back to " +
+          "FLOAT-aggregate hashing (order-unstable across recomputation) — redelivery " +
+          "protection is best-effort; build deltas via IncrementalStats.deltas()")
+        LakeTable.batchContentHash(Seq(col("group_key"), col("k"), col("s1"),
+          col("s2"), col("st"), col("st2")))
+      }
     val head = delta.agg(
       count(lit(1)).as("n"),
       collect_set(MergeApply.bucketOf(col("group_key"), b)).as("touched"),
@@ -165,6 +179,7 @@ object IncrementalStats {
       rowDelta = newLive - oldLive, maxLsnSeen = epochId,
       writerId = writerId, batchHash = Some(batchHash),
       baseSnapshotId = cur.id).applied
+    } finally delta.unpersist()
   }
 
   /** Pooled DerSimonian–Laird columns from the stored state — identical

@@ -141,7 +141,11 @@ object MaterializedPairs {
     val cur = table.current
     if (table.fenced(cur, epochId, writerId)) return false
     val b = cur.numBuckets
-    val delta = candidatePairs(deltaFacts, minOrders = 1L)
+    // The pair expansion (one shuffle + C(n,2) generators) is the dominant
+    // cost of the refresh and executes TWICE — once for the head/hash
+    // aggregate, again inside the merged write. Cache it across the two.
+    val delta = candidatePairs(deltaFacts, minOrders = 1L).persist()
+    try {
     val head = delta.agg(
       count(lit(1)).as("n"),
       collect_set(MergeApply.bucketOf(col("p1"), b)).as("touched"),
@@ -181,6 +185,7 @@ object MaterializedPairs {
       rowDelta = newLive - oldLive, maxLsnSeen = epochId,
       writerId = writerId, batchHash = Some(batchHash),
       baseSnapshotId = cur.id).applied
+    } finally delta.unpersist()
   }
 
   /** The analytics view: stored counts with the HAVING floor applied at

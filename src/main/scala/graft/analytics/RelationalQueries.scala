@@ -648,16 +648,23 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_warn"),
-          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n_fail"))
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n_fail"),
+          // quality = share of rows with NO flag at all: counting pass
+          // rows directly, NOT n - n_fail - n_warn, which double-subtracts
+          // a row that is both warned and failed (a one-row group that is
+          // both would read -100%)
+          sum(when(col("l_discount") > 0.05 || col("l_quantity") <= 0, 0L)
+            .otherwise(1L)).as("n_pass"))
         .select(col("l_returnflag"), col("n"), col("n_warn"), col("n_fail"),
-          round((col("n") - col("n_fail") - col("n_warn")) * 100.0 / col("n"), 4)
-            .as("quality_pct"))
+          round(col("n_pass") * 100.0 / col("n"), 4).as("quality_pct"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag, n, n_warn, n_fail,
-            round((n - n_fail - n_warn) * 100.0 / n, 4) AS quality_pct
+            round(n_pass * 100.0 / n, 4) AS quality_pct
             FROM (SELECT l_returnflag, count(*) AS n,
                    CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_warn,
-                   CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+                   CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+                   CAST(sum(CASE WHEN l_discount > 0.05 OR l_quantity <= 0
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_pass
                   FROM lineitem GROUP BY l_returnflag)
             ORDER BY l_returnflag"""))
 

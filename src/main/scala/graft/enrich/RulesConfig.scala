@@ -97,6 +97,21 @@ object RulesConfig {
       val f = node.get(field)
       if (f == null || f.isNull) None else Some(f.asDouble())
     }
+    // A present-but-wrong-SHAPE section must fail naming the field, not
+    // degrade: a scalar where an array belongs has size()==0, so e.g.
+    // "illness_rules": "rules.json" would otherwise parse as ZERO rules
+    // and silently classify an entire deployment as the default label
+    // (and an object shape would NPE bare from req(null, ...)).
+    def reqArray(field: String): Unit =
+      if (n.has(field) && !n.get(field).isNull && !n.get(field).isArray)
+        throw new IllegalArgumentException(
+          s"rules config: field '$field' must be a JSON array, got " +
+            n.get(field).getNodeType.toString.toLowerCase)
+    Seq("illness_rules", "manufacturers", "validation").foreach(reqArray)
+    if (n.has("overrides") && !n.get("overrides").isNull && !n.get("overrides").isObject)
+      throw new IllegalArgumentException(
+        "rules config: field 'overrides' must be a JSON object, got " +
+          n.get("overrides").getNodeType.toString.toLowerCase)
     val rules =
       if (!n.has("illness_rules")) Nil
       else (0 until n.get("illness_rules").size()).map { i =>

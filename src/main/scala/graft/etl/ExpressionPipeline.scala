@@ -43,6 +43,14 @@ object ExpressionPipeline {
       .option("header", "true")
       .option("encoding", "UTF-8")
       .option("mode", "PERMISSIVE") // malformed numeric → null → quarantine
+      // VALIDATE each file's own header against the schema instead of
+      // assigning columns positionally: over a directory/glob of chunks,
+      // head() returns the header of an ARBITRARY file (Spark orders
+      // splits by size), so a chunk whose sample columns are ordered
+      // differently would otherwise have its values silently routed to
+      // the wrong sample columns — enforceSchema=false turns that silent
+      // corruption into a loud per-file header mismatch error.
+      .option("enforceSchema", "false")
       .schema(StructType(fields))
       .csv(tsvPath)
   }
@@ -129,7 +137,13 @@ object ExpressionPipeline {
     // real matrix, a file listed twice) is new to the target and every
     // copy would append. The staging PK this replaces rejects the second
     // insert; first-row-wins matches it.
-    incoming.dropDuplicates(keys)
-      .join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    // NULL-SAFE join condition: a row with a null key column (an empty
+    // Gene cell nulled by the PERMISSIVE read) never matches itself under
+    // plain equality, so every replay of the same file would re-append it
+    // — exactly the duplicate this guard exists to reject. dropDuplicates
+    // already treats nulls as equal; the anti-join must agree.
+    val in = incoming.dropDuplicates(keys).as("i")
+    val tgt = target.select(keys.map(col): _*).distinct().as("t")
+    in.join(tgt, keys.map(k => col(s"i.$k") <=> col(s"t.$k")).reduce(_ && _), "left_anti")
   }
 }

@@ -36,12 +36,7 @@ object ChangeGen {
 
   private val baseEpochMs = 1704067200000L // 2024-01-01T00:00:00Z, fixed
 
-  @inline private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4B9B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  @inline private def mix(z0: Long): Long = graft.functions.Splitmix.mix(z0)
 
   @inline private def h(seed: Long, a: Long, b: Long): Long = mix(mix(seed ^ a) ^ b)
 

@@ -79,12 +79,7 @@ object SimilarityQueries {
 
   // ---- LSH machinery (deterministic pseudo-random planes, seed-fixed) ----
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4B9B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = graft.functions.Splitmix.mix(z0)
 
   /** `nPlanes` deterministic hyperplanes of dimension `dim`, components in
     * [-1, 1) derived from splitmix64 — no java.util.Random, reproducible
@@ -136,6 +131,16 @@ object SimilarityQueries {
           s"CAST(raise_error(concat('withLshBands: expected $dim-dim ', " +
           s"'embedding in $embCol, got ', CAST(size($embCol) AS STRING))) AS INT) " +
           s"WHEN aggregate(zip_with($embCol, pl, " +
+          // KNOWN boundary sensitivity: the sign of a float dot product is
+          // summation-order-dependent within ~1 ulp of 0 (Spark sums in
+          // array order; the DuckDB twin's SUM picks its own order), so a
+          // vector lying essentially ON a hyperplane could bucket
+          // differently across engines. Unmitigated by choice: rounding
+          // only moves the knife edge (to the rounding boundary), and the
+          // isotropic test embeddings put |dot| ~ O(1/√dim) — odds of a
+          // ≤1e-12 dot are negligible. A production port should quantize
+          // embeddings (e.g. float16 grid) if bit-exact cross-engine
+          // replay at the plane boundary ever matters.
           "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END)"))
       .withColumn("bands", expr(
         s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +

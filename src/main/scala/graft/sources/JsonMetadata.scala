@@ -76,7 +76,11 @@ object JsonMetadata {
         col("e.value.technology").as("technology"),
         col("e.value.pubmed_id").as("pubmed_id"),
         element_at(col("e.value.organisms"), 1).as("organism"),
-        size(col("e.value.sample_accession_codes")).as("n_samples"))
+        // size(null) is -1 under Spark's legacy sizeOfNull default — an
+        // experiment omitting the array must report NULL (the DuckDB
+        // twin's len() semantics), not a nonsense -1 sample count
+        when(col("e.value.sample_accession_codes").isNotNull,
+          size(col("e.value.sample_accession_codes"))).as("n_samples"))
 
   /** Sample records joined to their study membership (S2): samples{} map
     * exploded, membership from each experiment's sample_accession_codes
@@ -101,12 +105,7 @@ object JsonMetadata {
 
   // ---- deterministic fixture (reference-shaped; no external data) ----
 
-  @inline private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4B9B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  @inline private def mix(z0: Long): Long = graft.functions.Splitmix.mix(z0)
   @inline private def pick[A](xs: IndexedSeq[A], seed: Long, a: Long, b: Long): A =
     xs(((mix(mix(seed ^ a) ^ b) % xs.length).toInt + xs.length) % xs.length)
 
