@@ -105,16 +105,8 @@ object IncrementalStats {
     * touches only buckets whose groups appear in the batch. Returns false
     * when fenced or empty.
     */
-  def applyBatch(table: LakeTable, delta0: DataFrame, epochId: Long,
+  def applyBatch(table: LakeTable, delta: DataFrame, epochId: Long,
       writerId: String = ""): Boolean = {
-    val cur = table.current
-    if (table.fenced(cur, epochId, writerId)) return false
-    val b = cur.numBuckets
-    // The delta plan executes TWICE (head/content-hash aggregate, then the
-    // merged write) — cache it across the two consumers rather than
-    // recomputing the caller's (possibly expensive) derivation.
-    val delta = delta0.persist()
-    try {
     // Batch content hash over the RAW observation rows (folded from the
     // per-group `_hsum` sums deltas() carries — exact values, no float
     // recomputation), falling back to hashing the delta columns when the
@@ -138,48 +130,8 @@ object IncrementalStats {
         LakeTable.batchContentHash(Seq(col("group_key"), col("k"), col("s1"),
           col("s2"), col("st"), col("st2")))
       }
-    val head = delta.agg(
-      count(lit(1)).as("n"),
-      collect_set(MergeApply.bucketOf(col("group_key"), b)).as("touched"),
-      bhCol.as("bh")).collect()(0)
-    if (head.getAs[Long]("n") == 0L) return false
-    val batchHash = head.getAs[Long]("bh")
-    // early exit before writing data files — scoped like the commit-level
-    // fence (only a not-yet-established writer is hash-checked)
-    if (!table.establishedWriter(cur, writerId) &&
-        cur.batchHashes.contains(batchHash)) return false
-    val touched: Set[Int] = head.getAs[Seq[Int]]("touched").toSet
-
-    // Tombstone guard (same defense as MaterializedPairs.refreshIncremental):
-    // readConformed returns ALL stored versions including _deleted rows —
-    // the stats table only ever writes live CoW rows today, but a future
-    // maintenance path slipping a tombstone in would silently corrupt the
-    // additive sums forever.
-    val current = table.readConformed(cur, Some(touched))
-      .filter(!col("_deleted"))
-      .select(("group_key" +: statCols).map(col): _*)
-    val merged = current.unionByName(delta.select(("group_key" +: statCols).map(col): _*))
-      .groupBy(col("group_key"))
-      .agg(sum(col("k")).as("k"), sum(col("s1")).as("s1"), sum(col("s2")).as("s2"),
-        sum(col("st")).as("st"), sum(col("st2")).as("st2"))
-      .withColumn("_lsn", lit(epochId))
-      .withColumn("_deleted", lit(false))
-      .withColumn("_bucket", MergeApply.bucketOf(col("group_key"), b))
-
-    val files = table.writeDataFiles(
-      merged.repartition(math.max(1, touched.size), col("_bucket")), schemaVer = 1)
-    val newLive = files.map(_.live).sum
-    // Unknown live stats (-1 from a foreign writer's footer) must not be
-    // summed into the delta — recount, same guard as MergeApply/Scd2History.
-    val replaced = cur.files.filter(f => touched.contains(f.bucket))
-    val oldLive =
-      if (replaced.forall(_.live >= 0)) replaced.map(_.live).sum
-      else table.readConformed(cur, Some(touched)).filter(!col("_deleted")).count()
-    table.commit(files, touched, epochId, schemaVer = 1,
-      rowDelta = newLive - oldLive, maxLsnSeen = epochId,
-      writerId = writerId, batchHash = Some(batchHash),
-      baseSnapshotId = cur.id).applied
-    } finally delta.unpersist()
+    // the merge itself is the shared exactly-once ADD kernel
+    AdditiveMerge(table, delta, epochId, writerId, bhCol)
   }
 
   /** Pooled DerSimonian–Laird columns from the stored state — identical

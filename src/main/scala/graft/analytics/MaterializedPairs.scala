@@ -137,56 +137,13 @@ object MaterializedPairs {
     * when fenced, hash-deduped, or empty.
     */
   def refreshIncremental(table: LakeTable, deltaFacts: DataFrame, epochId: Long,
-      writerId: String = ""): Boolean = {
-    val cur = table.current
-    if (table.fenced(cur, epochId, writerId)) return false
-    val b = cur.numBuckets
-    // The pair expansion (one shuffle + C(n,2) generators) is the dominant
-    // cost of the refresh and executes TWICE — once for the head/hash
-    // aggregate, again inside the merged write. Cache it across the two.
-    val delta = candidatePairs(deltaFacts, minOrders = 1L).persist()
-    try {
-    val head = delta.agg(
-      count(lit(1)).as("n"),
-      collect_set(MergeApply.bucketOf(col("p1"), b)).as("touched"),
-      LakeTable.batchContentHash(Seq(col("p1"), col("p2"), col("n_orders"))).as("bh"))
-      .collect()(0)
-    if (head.getAs[Long]("n") == 0L) return false
-    val batchHash = head.getAs[Long]("bh")
-    // early exit before writing data files — scoped like the commit-level
-    // fence: only a NOT-yet-established writer (checkpoint-swap redelivery
-    // window) is hash-checked; commit re-checks under the same rule
-    if (!table.establishedWriter(cur, writerId) &&
-        cur.batchHashes.contains(batchHash)) return false
-    val touched: Set[Int] = head.getAs[Seq[Int]]("touched").toSet
-
-    val stored = table.readConformed(cur, Some(touched))
-      .filter(!col("_deleted"))
-      .select(col("p1"), col("p2"), col("n_orders"))
-    val merged = stored.unionByName(delta)
-      .groupBy(col("p1"), col("p2"))
-      .agg(sum(col("n_orders")).cast(LongType).as("n_orders"))
-      .withColumn("_lsn", lit(epochId))
-      .withColumn("_deleted", lit(false))
-      .withColumn("_bucket", MergeApply.bucketOf(col("p1"), b))
-    val files = table.writeDataFiles(
-      merged.repartition(math.max(1, math.min(touched.size, 8)), col("_bucket")),
-      schemaVer = 1)
-    val newLive = files.map(_.live).sum
-    // Same -1-sentinel guard as MergeApply/Scd2History: a replaced file
-    // with unknown live stats (foreign writer, statless footer) must be
-    // recounted, not summed — a -1 in the sum skews rowDelta and persists
-    // a wrong row count in the snapshot manifest.
-    val replaced = cur.files.filter(f => touched.contains(f.bucket))
-    val oldLive =
-      if (replaced.forall(_.live >= 0)) replaced.map(_.live).sum
-      else table.readConformed(cur, Some(touched)).filter(!col("_deleted")).count()
-    table.commit(files, touched, epochId, schemaVer = 1,
-      rowDelta = newLive - oldLive, maxLsnSeen = epochId,
-      writerId = writerId, batchHash = Some(batchHash),
-      baseSnapshotId = cur.id).applied
-    } finally delta.unpersist()
-  }
+      writerId: String = ""): Boolean =
+    // delegate to the shared exactly-once ADD kernel: fence + content-hash
+    // scoping + tombstone guard + -1 live-recount all live in ONE place
+    // ([[AdditiveMerge]]); pair counts are exact longs, so the plain
+    // column hash is already order-stable (no `_hsum` needed)
+    AdditiveMerge(table, candidatePairs(deltaFacts, minOrders = 1L), epochId, writerId,
+      LakeTable.batchContentHash(Seq(col("p1"), col("p2"), col("n_orders"))))
 
   /** The analytics view: stored counts with the HAVING floor applied at
     * read time (write-time thresholding would break count additivity).
