@@ -201,13 +201,22 @@ object CdcStream {
     val fs = dir.getFileSystem(hadoopConf(spark))
     val plain = new org.apache.hadoop.fs.Path(dir, epochId.toString)
     val compacted = new org.apache.hadoop.fs.Path(dir, s"$epochId.compact")
-    val (p, fromCompact) =
-      if (fs.exists(plain)) (plain, false)
-      else if (fs.exists(compacted)) (compacted, true)
-      else return Nil
-    val content =
-      try LakeTable.readString(fs, p)
-      catch { case _: java.io.FileNotFoundException => return Nil } // raced the compactor
+    // exists→read is not atomic against the source's log compactor: the
+    // plain per-batch file can vanish between the two calls when this epoch
+    // IS the compaction batch. Its entries live on in `<epochId>.compact`,
+    // so a lost race re-routes there — returning Nil would permanently
+    // record '<none>' lineage for a batch whose offsets are still on disk.
+    val attempt: Option[(String, Boolean)] =
+      (if (fs.exists(plain))
+         try Some((LakeTable.readString(fs, plain), false))
+         catch { case _: java.io.FileNotFoundException => None } // raced the compactor
+       else None)
+        .orElse(
+          if (fs.exists(compacted))
+            try Some((LakeTable.readString(fs, compacted), true))
+            catch { case _: java.io.FileNotFoundException => None }
+          else None)
+    val (content, fromCompact) = attempt.getOrElse(return Nil)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def keep(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
       !fromCompact || !n.has("batchId") || n.get("batchId").asLong() == epochId
