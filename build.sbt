@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run JVM's stdout through raw instead of routing it via
+// sbt's logger: the logger prefixes every line with "[info] ", which
+// defeats any consumer expecting bare JSON result lines on stdout
+// (e.g. Bench's single-line result record).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
