@@ -20,11 +20,36 @@ import graft.model.Model
   * read path resolves by max `_lsn` per key until compaction folds them).
   */
 final case class FileEntry(path: String, bucket: Int, schemaVer: Int, rows: Long,
-    live: Long = -1L, kind: String = FileEntry.Base)
+    live: Long = -1L, kind: String = FileEntry.Base, stats: Option[FileStats] = None)
 
 object FileEntry {
   val Base = "base"
   val Delta = "delta"
+}
+
+/** Manifest-level column ranges of one data file — the engine's substitute
+  * for the reference's secondary indexes (SURVEY §4; reference:
+  * Scripts/database_schema.sql:165-169): point/range reads skip files whose
+  * ranges cannot contain the probe, without opening a single footer.
+  *
+  *   - `minKey`/`maxKey`: first merge key (conv_id), compared in UTF8
+  *     BINARY order on both the write side ([[graft.functions.FileRangeAgg]])
+  *     and the probe side — the same unsigned-byte order parquet binary
+  *     stats use. Null ⟺ unknown (a file with null keys, or a legacy
+  *     footer without stats) — such a file is never skipped.
+  *   - `min2`/`max2`: second merge key (turn_idx) when integral; the
+  *     "unknown" sentinel is min2 > max2.
+  *   - `minLsn`/`maxLsn`: `_lsn` range, same sentinel — lets maintenance
+  *     and changelog consumers reason about a file's change window.
+  *
+  * Absent entirely (`stats = None`, manifests written before the field
+  * existed) ⟹ no skipping: version-tolerant by construction.
+  */
+final case class FileStats(minKey: String, maxKey: String,
+    min2: Long, max2: Long, minLsn: Long, maxLsn: Long) {
+  def hasKeyRange: Boolean = minKey != null && maxKey != null
+  def has2: Boolean = min2 <= max2
+  def hasLsn: Boolean = minLsn <= maxLsn
 }
 
 /** A committed table snapshot. The table's commit protocol gives the
@@ -321,16 +346,82 @@ final class LakeTable(
       case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
       case None => snap.files
     }
+    resolveWanted(wanted, snap.schemaVer, None)
+  }
+
+  /** LWW-resolve an explicit file set, optionally pre-filtered by a
+    * KEY-ONLY predicate. The predicate is applied BELOW the resolve
+    * groupBy — legal exactly because it references only merge-key columns
+    * (every stored version of a key passes or fails together, so the
+    * per-key max-LSN winner is unchanged), and load-bearing for point
+    * reads: the filter reaches the parquet scan, so row-group stats prune
+    * within the files manifest-level skipping kept.
+    */
+  private def resolveWanted(wanted: Seq[FileEntry], schemaVer: Int,
+      keyPred: Option[org.apache.spark.sql.Column]): DataFrame = {
+    def scan(fes: Seq[FileEntry]): DataFrame = {
+      val df = readFiles(fes, schemaVer)
+      keyPred.map(df.filter).getOrElse(df)
+    }
     val deltaBuckets = wanted.filter(_.kind == FileEntry.Delta).map(_.bucket).toSet
-    if (deltaBuckets.isEmpty) return readFiles(wanted, snap.schemaVer)
+    if (deltaBuckets.isEmpty) return scan(wanted)
     val (multi, pure) = wanted.partition(f => deltaBuckets.contains(f.bucket))
-    val cols = physicalSchema(snap.schemaVer).fieldNames.toSeq
-    val resolved = readFiles(multi, snap.schemaVer)
+    val cols = physicalSchema(schemaVer).fieldNames.toSeq
+    val resolved = scan(multi)
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(cols.map(col): _*), col("_lsn")).as("r"))
       .select(col("r.*"))
     if (pure.isEmpty) resolved
-    else resolved.unionByName(readFiles(pure, snap.schemaVer))
+    else resolved.unionByName(scan(pure))
+  }
+
+  // ---- stats-pruned point / range reads ----
+
+  /** Files of the CURRENT snapshot that can contain `keyCols.head = key`:
+    * bucket pruning (the key's hash bucket) + manifest min/max skipping.
+    * Exposed so tests (and operators) can assert how many files a point
+    * read opens without driving a Spark job.
+    */
+  def filesForKey(key: String): Seq[FileEntry] = filesForKey(current, key)
+
+  def filesForKey(snap: Snapshot, key: String): Seq[FileEntry] = {
+    val b = bucketOfKey(key, snap.numBuckets)
+    val k = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+    snap.files.filter(f => f.bucket == b && mayContainKey(f, k))
+  }
+
+  /** Point lookup: all live turns of one conversation, public shape. Scale
+    * shape at 100 TB: one bucket of ~B⁻¹ of the table, then manifest
+    * min/max skipping to the files whose key range covers `key` — no
+    * footer opens, no shuffle on a compacted table, and the equality
+    * predicate reaches the parquet scan for row-group pruning within the
+    * kept files.
+    */
+  def readKey(key: String): DataFrame = {
+    val snap = current
+    val wanted = filesForKey(snap, key)
+    resolveWanted(wanted, snap.schemaVer, Some(col(keyCols.head) === lit(key)))
+      .filter(!col("_deleted"))
+      .select(registry(snap.schemaVer).fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Range read over the FIRST merge key (inclusive bounds, binary string
+    * order — the key must be a string column): every bucket can hold keys
+    * of the range under hash bucketing, so pruning is purely manifest
+    * min/max overlap per file. Files without stats are read (never
+    * skipped), so legacy manifests stay correct, just unpruned.
+    */
+  def readKeyRange(lower: String, upper: String): DataFrame = {
+    val snap = current
+    require(registry(snap.schemaVer)(keyCols.head).dataType == StringType,
+      s"readKeyRange prunes in string order; key column ${keyCols.head} is not a string")
+    val lo = org.apache.spark.unsafe.types.UTF8String.fromString(lower)
+    val hi = org.apache.spark.unsafe.types.UTF8String.fromString(upper)
+    val wanted = snap.files.filter(f => mayOverlapKeyRange(f, lo, hi))
+    resolveWanted(wanted, snap.schemaVer,
+      Some(col(keyCols.head) >= lit(lower) && col(keyCols.head) <= lit(upper)))
+      .filter(!col("_deleted"))
+      .select(registry(snap.schemaVer).fieldNames.map(col).toSeq: _*)
   }
 
   /** Buckets whose FILE SETS differ between two snapshots — the pruning
@@ -793,9 +884,21 @@ final class LakeTable(
         val keyed = withLive.withColumn("_fskey",
           spark_partition_id().cast(LongType) * lit(FileKeySpan) +
             col("_bucket").cast(LongType))
+        // Manifest min/max ranges ride the SAME observation: first merge
+        // key in string space, second key when integral (turn_idx), and
+        // `_lsn` — the inputs the file-skip predicates compare against.
+        val k2 = keyCols.drop(1).headOption
+          .filter(c => withLive.schema(c).dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          })
+          .map(c => col(c).cast(LongType))
+          .getOrElse(lit(null).cast(LongType))
         (keyed.observe(o,
           graft.functions.FileStatsAgg.column(spark, col("_fskey"),
-            not(coalesce(col("_deleted"), lit(false)))).as("fs"))
+            not(coalesce(col("_deleted"), lit(false)))).as("fs"),
+          graft.functions.FileRangeAgg.column(spark, col("_fskey"),
+            col(keyCols.head).cast(StringType), k2, col("_lsn")).as("fr"))
           .drop("_fskey"), Some(o))
       }
     graft.cdc.MergeApply.timed("merge-write-files")(
@@ -831,6 +934,24 @@ final class LakeTable(
         }
       case _ => return None
     }
+    // Min/max ranges from the companion FileRangeAgg observation. A
+    // missing/undecodable range entry degrades THAT file to stats=None
+    // (no skipping), never the whole commit — ranges are an optimization,
+    // the row/live counts above are the accounting.
+    val ranges: collection.Map[Long, FileStats] = row.get("fr") match {
+      case Some(m: collection.Map[_, _]) =>
+        m.flatMap { case (k, v) =>
+          v match {
+            case r: org.apache.spark.sql.Row if r.length == 6 =>
+              Some(k.asInstanceOf[Long] -> FileStats(
+                if (r.isNullAt(0)) null else r.getString(0),
+                if (r.isNullAt(1)) null else r.getString(1),
+                r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+            case _ => None
+          }
+        }
+      case _ => collection.Map.empty[Long, FileStats]
+    }
     val found = graft.cdc.MergeApply.timed("file-stats-list")(listDataFiles(dir))
     if (found.size != stats.size) {
       System.err.println(s"[lake] write-stats mismatch (${found.size} files vs " +
@@ -840,8 +961,10 @@ final class LakeTable(
     val entries = found.map { case (p, bucket) =>
       val pid = partFileRe.findFirstMatchIn(p.getName).map(_.group(1).toLong)
         .getOrElse(return None)
-      stats.get(pid * FileKeySpan + bucket) match {
-        case Some((rows, live)) => FileEntry(p.toString, bucket, schemaVer, rows, live, kind)
+      val key = pid * FileKeySpan + bucket
+      stats.get(key) match {
+        case Some((rows, live)) =>
+          FileEntry(p.toString, bucket, schemaVer, rows, live, kind, ranges.get(key))
         case None => return None
       }
     }
@@ -906,14 +1029,20 @@ final class LakeTable(
     val conf = hadoopConf
     val found = listDataFiles(dir)
     if (found.isEmpty) return Nil
+    val physical = physicalSchema(schemaVer)
+    val keyIsString = physical(keyCols.head).dataType == StringType
+    val k2Name = keyCols.drop(1).headOption.filter(c => physical(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
     // The footer pass is SERIAL driver time on every epoch's critical
     // path; each footer open is ~10 ms of filesystem round trips, so the
     // pool is sized to overlap as many as the commit has files (capped).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(48, found.size))
     try {
       val futures = found.toSeq.map { case (p, bucket) =>
-        pool.submit(new java.util.concurrent.Callable[(Path, Int, Long, Long)] {
-          def call(): (Path, Int, Long, Long) =
+        pool.submit(new java.util.concurrent.Callable[(Path, Int, Long, Long, Option[FileStats])] {
+          def call(): (Path, Int, Long, Long, Option[FileStats]) =
             // A transiently unreadable footer must NOT abort the commit
             // (the data files are already written) — degrade that file to
             // "unknown" and let the bounded Spark rescue job below read it;
@@ -927,45 +1056,105 @@ final class LakeTable(
                 // dead = Σ null counts of `_live`; -1 when any chunk lacks them
                 var dead = 0L
                 var known = true
+                // Min/max ranges from the same footers (parquet binary
+                // stats are unsigned-byte order — the probe order). Any
+                // block without usable stats degrades that field to
+                // unknown; parquet-mr's truncated binary stats stay valid
+                // bounds (min truncated down, max padded up).
+                var minKey: String = null; var maxKey: String = null; var keyOk = keyIsString
+                var min2 = Long.MaxValue; var max2 = Long.MinValue; var k2Ok = k2Name.isDefined
+                var minLsn = Long.MaxValue; var maxLsn = Long.MinValue; var lsnOk = true
+                def chunk(b: org.apache.parquet.hadoop.metadata.BlockMetaData, name: String) =
+                  b.getColumns.asScala.find(_.getPath.toDotString == name)
+                    .map(_.getStatistics).filter(s => s != null && s.hasNonNullValue)
                 blocks.foreach { b =>
-                  b.getColumns.asScala.find(_.getPath.toDotString == "_live") match {
-                    case Some(c) if c.getStatistics != null && c.getStatistics.isNumNullsSet =>
-                      dead += c.getStatistics.getNumNulls
+                  chunk(b, "_live") match {
+                    case Some(s) if s.isNumNullsSet => dead += s.getNumNulls
                     case _ => known = false
                   }
+                  if (keyOk) chunk(b, keyCols.head) match {
+                    case Some(s) =>
+                      // Combine per-block extremes in UTF8 BINARY order —
+                      // the probe order — not Java's UTF-16 String order
+                      // (they diverge for non-ASCII keys).
+                      import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+                      val mn = new String(s.getMinBytes, StandardCharsets.UTF_8)
+                      val mx = new String(s.getMaxBytes, StandardCharsets.UTF_8)
+                      if (minKey == null || u(mn).binaryCompare(u(minKey)) < 0) minKey = mn
+                      if (maxKey == null || u(mx).binaryCompare(u(maxKey)) > 0) maxKey = mx
+                    case None => keyOk = false
+                  }
+                  k2Name.foreach { n => if (k2Ok) chunk(b, n) match {
+                    case Some(s) =>
+                      val mn = s.genericGetMin.asInstanceOf[Number].longValue()
+                      val mx = s.genericGetMax.asInstanceOf[Number].longValue()
+                      if (mn < min2) min2 = mn
+                      if (mx > max2) max2 = mx
+                    case None => k2Ok = false
+                  }}
+                  if (lsnOk) chunk(b, "_lsn") match {
+                    case Some(s) =>
+                      val mn = s.genericGetMin.asInstanceOf[Number].longValue()
+                      val mx = s.genericGetMax.asInstanceOf[Number].longValue()
+                      if (mn < minLsn) minLsn = mn
+                      if (mx > maxLsn) maxLsn = mx
+                    case None => lsnOk = false
+                  }
                 }
-                (p, bucket, rows, if (known) rows - dead else -1L)
+                val fstats =
+                  if (!lsnOk) None
+                  else Some(FileStats(
+                    if (keyOk) minKey else null, if (keyOk) maxKey else null,
+                    if (k2Ok) min2 else Long.MaxValue, if (k2Ok) max2 else Long.MinValue,
+                    minLsn, maxLsn))
+                (p, bucket, rows, if (known) rows - dead else -1L, fstats)
               } finally reader.close()
             } catch {
               case e: Exception =>
                 System.err.println(s"[lake] footer read failed for $p (${e.getClass.getSimpleName}: " +
                   s"${e.getMessage}) — routing through the Spark rescue pass")
-                (p, bucket, -1L, -1L)
+                (p, bucket, -1L, -1L, None)
             }
         })
       }
       val stats = futures.map(_.get())
       val (ok, unknown) = stats.partition(_._4 >= 0L)
-      val rescued: Seq[(Path, Int, Long, Long)] =
+      val rescued: Seq[(Path, Int, Long, Long, Option[FileStats])] =
         if (unknown.isEmpty) Nil
         else {
-          val byPath = spark.read.schema(physicalSchema(schemaVer))
+          // The rescue job computes the same ranges Spark-side (string
+          // min/max is UTF8 binary order there too).
+          val keyStr = col(keyCols.head).cast(StringType)
+          val k2Col = k2Name.map(c => col(c).cast(LongType)).getOrElse(lit(null).cast(LongType))
+          val byPath = spark.read.schema(physical)
             .parquet(unknown.map(_._1.toString): _*)
-            .select(input_file_name().as("f"), col("_deleted"))
+            .select(input_file_name().as("f"), col("_deleted"), col("_lsn"),
+              keyStr.as("_k"), k2Col.as("_k2"))
             .groupBy(col("f"))
             .agg(count(lit(1)).as("rows"),
-              sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"))
+              sum(when(col("_deleted"), 0L).otherwise(1L)).as("live"),
+              min("_k").as("mn"), max("_k").as("mx"),
+              min("_k2").as("mn2"), max("_k2").as("mx2"),
+              min("_lsn").as("mnl"), max("_lsn").as("mxl"))
             .collect()
-            .map(r => new Path(new java.net.URI(r.getString(0))).toString ->
-              (r.getLong(1), r.getLong(2)))
+            .map { r =>
+              val fstats = FileStats(
+                if (r.isNullAt(3)) null else r.getString(3),
+                if (r.isNullAt(4)) null else r.getString(4),
+                if (r.isNullAt(5)) Long.MaxValue else r.getLong(5),
+                if (r.isNullAt(6)) Long.MinValue else r.getLong(6),
+                r.getLong(7), r.getLong(8))
+              new Path(new java.net.URI(r.getString(0))).toString ->
+                ((r.getLong(1), r.getLong(2), fstats))
+            }
             .toMap
-          unknown.map { case (p, b, rows0, _) =>
-            val (rows, live) = byPath.getOrElse(p.toString, (0L, 0L))
-            (p, b, if (rows0 >= 0) rows0 else rows, live)
+          unknown.map { case (p, b, rows0, _, _) =>
+            val (rows, live, fstats) = byPath.getOrElse(p.toString, (0L, 0L, null))
+            (p, b, if (rows0 >= 0) rows0 else rows, live, Option(fstats))
           }
         }
-      (ok ++ rescued).map { case (p, bucket, rows, live) =>
-        FileEntry(p.toString, bucket, schemaVer, rows, live, kind)
+      (ok ++ rescued).map { case (p, bucket, rows, live, fstats) =>
+        FileEntry(p.toString, bucket, schemaVer, rows, live, kind, fstats)
       }
     } finally pool.shutdown()
   }
@@ -1228,6 +1417,38 @@ object LakeTable {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Driver-side twin of [[graft.cdc.MergeApply.bucketOf]]: the same
+    * xxhash64 (Spark's default seed 42) + pmod, evaluated without a Spark
+    * job, so a point read prunes to its bucket before planning anything.
+    * Seed/algorithm lockstep with the Column form is pinned by test.
+    */
+  private[graft] def bucketOfKey(key: String, numBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key), StringType, 42L)
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+  }
+
+  /** File-skip predicates, in UTF8 BINARY order on both sides (the write
+    * pass and parquet footer stats min/max in the same order). Absent or
+    * unknown stats never skip — legacy manifests read correct, unpruned.
+    */
+  private[graft] def mayContainKey(f: FileEntry,
+      k: org.apache.spark.unsafe.types.UTF8String): Boolean = f.stats match {
+    case Some(s) if s.hasKeyRange =>
+      import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+      k.binaryCompare(u(s.minKey)) >= 0 && k.binaryCompare(u(s.maxKey)) <= 0
+    case _ => true
+  }
+
+  private[graft] def mayOverlapKeyRange(f: FileEntry,
+      lo: org.apache.spark.unsafe.types.UTF8String,
+      hi: org.apache.spark.unsafe.types.UTF8String): Boolean = f.stats match {
+    case Some(s) if s.hasKeyRange =>
+      import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+      hi.binaryCompare(u(s.minKey)) >= 0 && lo.binaryCompare(u(s.maxKey)) <= 0
+    case _ => true
+  }
+
   /** Cast/null-fill `df` (physical schema `from`) up to `to`. Only widening
     * casts are legal here; the registry guarantees versions only add
     * nullable columns or widen types.
@@ -1249,11 +1470,22 @@ object LakeTable {
     case c => c.toString
   }
 
-  private[lake] def filesJson(fes: Seq[FileEntry]): String =
-    fes.map(f =>
+  private[graft] def filesJson(fes: Seq[FileEntry]): String =
+    fes.map { f =>
+      // Stats tail is OPTIONAL per entry (version-tolerant both ways:
+      // old readers ignore the extra fields, old entries parse to None).
+      // `mnl` is the presence marker — LSN ranges are tracked whenever
+      // stats are collected at all; key min/max may still be absent
+      // (null keys in the file).
+      val st = f.stats.map { s =>
+        val kk =
+          if (s.hasKeyRange) s""""mn":"${esc(s.minKey)}","mx":"${esc(s.maxKey)}","""
+          else ""
+        s""",$kk"mn2":${s.min2},"mx2":${s.max2},"mnl":${s.minLsn},"mxl":${s.maxLsn}"""
+      }.getOrElse("")
       s"""{"path":"${esc(f.path)}","bucket":${f.bucket},"schemaVer":${f.schemaVer},""" +
-        s""""rows":${f.rows},"live":${f.live},"kind":"${esc(f.kind)}"}""")
-      .mkString("[", ",", "]")
+        s""""rows":${f.rows},"live":${f.live},"kind":"${esc(f.kind)}"$st}"""
+    }.mkString("[", ",", "]")
 
   /** One bucket-group manifest (sharded format). */
   private[lake] def groupManifestJson(g: Int, fes: Seq[FileEntry]): String =
@@ -1267,13 +1499,22 @@ object LakeTable {
   private def parseFileArray(arr: com.fasterxml.jackson.databind.JsonNode): Seq[FileEntry] =
     (0 until arr.size()).map { i =>
       val f = arr.get(i)
+      val stats =
+        if (!f.has("mnl")) None
+        else Some(FileStats(
+          if (f.has("mn")) f.get("mn").asText() else null,
+          if (f.has("mx")) f.get("mx").asText() else null,
+          if (f.has("mn2")) f.get("mn2").asLong() else Long.MaxValue,
+          if (f.has("mx2")) f.get("mx2").asLong() else Long.MinValue,
+          f.get("mnl").asLong(), f.get("mxl").asLong()))
       FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
         f.get("schemaVer").asInt(), f.get("rows").asLong(),
         if (f.has("live")) f.get("live").asLong() else -1L,
-        if (f.has("kind")) f.get("kind").asText() else FileEntry.Base)
+        if (f.has("kind")) f.get("kind").asText() else FileEntry.Base,
+        stats)
     }
 
-  private[lake] def manifestJson(s: Snapshot): String = {
+  private[graft] def manifestJson(s: Snapshot): String = {
     // Sharded tables reference group manifests; inline tables embed files.
     val tail =
       if (sharded(s.numBuckets)) {
@@ -1293,7 +1534,7 @@ object LakeTable {
       s"""$tb"writerEpochs":$we,"batchHashes":$bh,$tail}"""
   }
 
-  private[lake] def parseManifest(json: String): Snapshot = {
+  private[graft] def parseManifest(json: String): Snapshot = {
     import com.fasterxml.jackson.databind.ObjectMapper
     val m = new ObjectMapper()
     val n = m.readTree(json)

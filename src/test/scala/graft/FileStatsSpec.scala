@@ -55,5 +55,11 @@ class FileStatsSpec extends AnyFunSuite {
     assert(fast.current.files.forall(_.live >= 0))
     assert(statKey(fast) == statKey(slow))
     assert(fast.current.rows == slow.current.rows)
+    // the min/max ranges must agree between the write-pass aggregate and
+    // the parquet-footer-derived form too (same files, same extremes)
+    def rangeKey(t: LakeTable) = t.current.files
+      .map(f => (f.bucket, f.rows, f.stats)).sortBy(x => (x._1, x._2))
+    assert(fast.current.files.forall(_.stats.exists(s => s.hasKeyRange && s.hasLsn)))
+    assert(rangeKey(fast) == rangeKey(slow))
   }
 }
