@@ -1242,12 +1242,38 @@ final class LakeTable(
     *                      so its refs and files are already live here).
     *                      Single-writer maintenance (tests, in-replay GC)
     *                      passes 0 for immediate reclamation.
+    * @param olderThanMs   TIME-BASED retention (Iceberg's
+    *                      `expireSnapshots(olderThan)` shape; reference
+    *                      analog: DATEADD-cutoff purge,
+    *                      Scripts/ETL_Framework_Implementation.sql:445-485):
+    *                      a snapshot younger than this age is KEPT even
+    *                      beyond `keepLast`, so the retention contract for
+    *                      incremental consumers ([[readChangesSince]],
+    *                      [[readAt]]) is expressible in time units — "any
+    *                      baseline taken in the last 7 days stays
+    *                      readable" — which is how changelog consumers
+    *                      reason, not in snapshot counts. Age is the
+    *                      manifest file's mtime (the commit's claim
+    *                      instant). Negative (default) = count-based
+    *                      retention only, the pre-existing behavior.
     */
   def expireSnapshots(keepLast: Int = 2,
-      orphanGraceMs: Long = defaultOrphanGraceMs): Unit = {
+      orphanGraceMs: Long = defaultOrphanGraceMs,
+      olderThanMs: Long = -1L): Unit = {
     val ids = snapshotIds
     val curId = current.id
-    val keep = ids.filter(_ >= curId - keepLast + 1).toSet + curId
+    val youngEnough: Set[Long] =
+      if (olderThanMs < 0L) Set.empty
+      else {
+        val ageCutoff = System.currentTimeMillis() - olderThanMs
+        fs.listStatus(metaDir)
+          .filter(st => st.getPath.getName.startsWith("snap-") &&
+            st.getModificationTime >= ageCutoff)
+          .map(st => st.getPath.getName.stripPrefix("snap-")
+            .stripSuffix(".json").toLong)
+          .toSet
+      }
+    val keep = ids.filter(_ >= curId - keepLast + 1).toSet ++ youngEnough + curId
     val keptSnaps = keep.toSeq.map(snapshot)
     val live: Set[String] = keptSnaps.flatMap(_.files.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - orphanGraceMs
