@@ -162,7 +162,8 @@ object MergeApply {
     //    merge cols. Within-batch LSN dedup is NOT a separate shuffle: it is
     //    subsumed by the merge groupBy in step 3 (same max_by-per-key
     //    semantics, one shuffle instead of two).
-    val batchRows = conformEvents(events, target, keyCols)
+    val batchRows = conformEvents(events, target, keyCols,
+      n => table.historicalNames(n, newVer))
 
     val isMor = strategy == WriteStrategy.MergeOnRead
     val mergeCols = target.fieldNames.toSeq ++ Seq("_lsn", "_deleted")
@@ -197,10 +198,10 @@ object MergeApply {
     val toResolve =
       if (isMor) gatedBatch.select(mergeCols.map(col): _*)
       else {
-        val currentRows = LakeTable.conform(
-          table.readConformed(cur, Some(touched)),
-          table.physicalSchema(cur.schemaVer),
-          StructType(target.fields ++ LakeTable.internalCols))
+        // Version-aware conform: renamed columns map their old-name data
+        // across the cur→newVer step, dropped columns project away.
+        val currentRows = table.conformVersioned(
+          table.readConformed(cur, Some(touched)), cur.schemaVer, newVer)
         currentRows.select(mergeCols.map(col): _*)
           .unionByName(gatedBatch.select(mergeCols.map(col): _*))
       }
@@ -309,15 +310,19 @@ object MergeApply {
     * columns. Deletes become tombstones with null payloads; columns the
     * target schema doesn't know yet (e.g. `tool` before v2) are dropped;
     * columns the events don't carry are null-filled; `turn_idx` widens by
-    * cast when the target has evolved to long.
+    * cast when the target has evolved to long. `aliasesOf` resolves a
+    * target column through the registry's rename history (newest first),
+    * so an old producer still emitting a pre-rename wire column feeds the
+    * renamed target column.
     */
-  private def conformEvents(events: DataFrame, target: StructType, keyCols: Seq[String]): DataFrame = {
+  private def conformEvents(events: DataFrame, target: StructType, keyCols: Seq[String],
+      aliasesOf: String => Seq[String]): DataFrame = {
     val have = events.columns.toSet
     val isDelete = col("op") === "D"
     val payload = target.fields.toSeq.map { f =>
-      val base =
-        if (have.contains(f.name)) col(f.name).cast(f.dataType)
-        else lit(null).cast(f.dataType)
+      val base = aliasesOf(f.name).find(have.contains)
+        .map(src => col(src).cast(f.dataType))
+        .getOrElse(lit(null).cast(f.dataType))
       if (keyCols.contains(f.name)) base.as(f.name)
       else when(isDelete, lit(null).cast(f.dataType)).otherwise(base).as(f.name)
     }

@@ -206,13 +206,30 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   *                  primary table; stats/history tables pass their own)
   * @param keyCols   merge key; `keyCols.head` drives hash-bucketing, the
   *                  full key drives within-file sort order
+  * @param renames   RENAME evolution steps of the registry: `renames(N)`
+  *                  maps `oldName -> newName` for columns renamed going
+  *                  from version N-1 to N. Read-side conformance resolves
+  *                  a target column back through the chain to the name it
+  *                  had at each file's writer version, so files written
+  *                  before the rename read under the new name with their
+  *                  data intact — no rewrite (reference analog: the
+  *                  metadata-regenerated MERGE absorbing column DDL,
+  *                  Scripts/ETL_Framework_Implementation.sql:336-399).
+  *                  DROPPED columns need no entry: a version that omits a
+  *                  column projects it away on read automatically. Merge
+  *                  keys must never be renamed (bucketing/sort identity).
   */
 final class LakeTable(
     val spark: SparkSession,
     val root: String,
     val registry: Map[Int, StructType] = Model.schemaRegistry,
-    val keyCols: Seq[String] = Model.keyCols) {
+    val keyCols: Seq[String] = Model.keyCols,
+    val renames: Map[Int, Map[String, String]] = Map.empty) {
   import LakeTable._
+
+  require(!renames.valuesIterator.flatten.exists { case (o, n) =>
+    keyCols.contains(o) || keyCols.contains(n) },
+    s"merge key columns cannot be renamed: $renames vs key $keyCols")
 
   private val rootPath = new Path(root)
   /** One Hadoop conf per table: `newHadoopConf()` deep-copies the whole
@@ -508,10 +525,60 @@ final class LakeTable(
     val parts = groups.toSeq.sortBy(_._1).map { case (ver, fes) =>
       val physical = physicalSchema(ver)
       val df = spark.read.schema(physical).parquet(fes.map(_.path): _*)
-      conform(df, physical, target)
+      conformVersioned(df, ver, targetVer)
     }
     if (parts.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
     else parts.reduce(_ unionByName _)
+  }
+
+  // ---- rename-aware version conformance ----
+
+  /** The name a column (known as `name` at `toVer`) carried at `fromVer`:
+    * the rename steps walked backward. A column added after `fromVer`
+    * resolves to a name absent from the old schema — the caller
+    * null-fills, same as the add-column case.
+    */
+  private def nameAt(name: String, fromVer: Int, toVer: Int): String = {
+    var n = name
+    var v = toVer
+    while (v > fromVer) {
+      renames.get(v).foreach(_.find(_._2 == n).foreach { case (old, _) => n = old })
+      v -= 1
+    }
+    n
+  }
+
+  /** All names a column (known as `name` at `ver`) has ever carried,
+    * newest first — the alias set the merge path probes when an OLD
+    * producer still emits a pre-rename wire column.
+    */
+  private[graft] def historicalNames(name: String, ver: Int): Seq[String] = {
+    val buf = mutable.ArrayBuffer(name)
+    var n = name
+    var v = ver
+    while (v > 1) {
+      renames.get(v).foreach(_.find(_._2 == n).foreach { case (old, _) =>
+        n = old
+        buf += old
+      })
+      v -= 1
+    }
+    buf.toSeq
+  }
+
+  /** Cast/null-fill/RENAME-map `df` (physical schema of `fromVer`) up to
+    * `toVer`'s physical schema: the version-aware form of
+    * [[LakeTable.conform]]. Renamed columns read their old-name data;
+    * added columns null-fill; dropped columns are projected away (not
+    * selected); widened types cast up.
+    */
+  private[graft] def conformVersioned(df: DataFrame, fromVer: Int, toVer: Int): DataFrame = {
+    val have = physicalSchema(fromVer).fieldNames.toSet
+    df.select(physicalSchema(toVer).fields.toSeq.map { f =>
+      val src = nameAt(f.name, fromVer, toVer)
+      if (have.contains(src)) col(src).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   // ---- commit protocol ----
@@ -1408,7 +1475,8 @@ object LakeTable {
   def create(
       spark: SparkSession, root: String, schemaVer: Int, numBuckets: Int,
       registry: Map[Int, StructType] = Model.schemaRegistry,
-      keyCols: Seq[String] = Model.keyCols): LakeTable = {
+      keyCols: Seq[String] = Model.keyCols,
+      renames: Map[Int, Map[String, String]] = Map.empty): LakeTable = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = new Path(rootPath, "_meta")
@@ -1426,7 +1494,7 @@ object LakeTable {
           "the re-created table's first commit)")
     fs.mkdirs(metaDir)
     val snap = Snapshot(0L, -1L, -1L, schemaVer, numBuckets, 0L, -1L, Nil)
-    val t = new LakeTable(spark, root, registry, keyCols)
+    val t = new LakeTable(spark, root, registry, keyCols, renames)
     writeManifest(fs, new Path(metaDir, f"snap-${0L}%010d.json"), snap)
     writeString(fs, new Path(metaDir, "_current"), f"snap-${0L}%010d.json")
     t
@@ -1435,8 +1503,9 @@ object LakeTable {
   def load(
       spark: SparkSession, root: String,
       registry: Map[Int, StructType] = Model.schemaRegistry,
-      keyCols: Seq[String] = Model.keyCols): LakeTable =
-    new LakeTable(spark, root, registry, keyCols)
+      keyCols: Seq[String] = Model.keyCols,
+      renames: Map[Int, Map[String, String]] = Map.empty): LakeTable =
+    new LakeTable(spark, root, registry, keyCols, renames)
 
   def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root, "_meta/_current")

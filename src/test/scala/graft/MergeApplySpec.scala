@@ -198,6 +198,73 @@ class MergeApplySpec extends AnyFunSuite {
     assert(rows == Seq(("a", 1L, "one"), ("b", 2L, "two"), ("c", 3L, "three")))
   }
 
+  test("schema v4/v5 rename + drop: old files and old wire names conform on read") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // v4 renames tool -> tool_name (atop v3's widened turn_idx);
+    // v5 drops role entirely
+    val v4 = StructType(Seq(
+      StructField("conv_id", StringType, nullable = false),
+      StructField("turn_idx", LongType, nullable = false),
+      StructField("role", StringType),
+      StructField("text", StringType),
+      StructField("tool_name", StringType),
+      StructField("ts", TimestampType)))
+    val v5 = StructType(v4.fields.filterNot(_.name == "role"))
+    val registry = Model.schemaRegistry ++ Map(4 -> v4, 5 -> v5)
+    val renames = Map(4 -> Map("tool" -> "tool_name"))
+    val root = tmp()
+    val table = LakeTable.create(spark, root, schemaVer = 2, numBuckets = 4,
+      registry = registry, renames = renames)
+    val ts = new java.sql.Timestamp(1704067200000L)
+    def ev(lsn: Long, ver: Int, conv: String, turn: Int, text: String, tool: Option[String]) =
+      Model.ChangeEvent(lsn, "I", ver, conv, turn, Some("user"), Some(text), tool, Some(ts))
+
+    // v2 files carry `tool` under its ORIGINAL name
+    MergeApply.applyBatch(table, spark.createDataset(Seq(
+      ev(1, 2, "a", 1, "one", Some("calc")),
+      ev(2, 2, "b", 1, "two", None))).toDF(), 0)
+    assert(table.current.schemaVer == 2)
+
+    // a v4 batch from an OLD producer: the wire still says `tool`, the
+    // alias chain must land it in `tool_name`
+    MergeApply.applyBatch(table, spark.createDataset(Seq(
+      ev(3, 4, "c", 1, "three", Some("search")))).toDF(), 1)
+    assert(table.current.schemaVer == 4)
+    val atV4 = table.read()
+    assert(atV4.schema.fieldNames.contains("tool_name") &&
+      !atV4.schema.fieldNames.contains("tool"))
+    val gotV4 = atV4.orderBy("conv_id")
+      .select($"conv_id", $"tool_name").as[(String, Option[String])].collect().toSeq
+    assert(gotV4 == Seq(("a", Some("calc")), ("b", None), ("c", Some("search"))))
+
+    // a v5 batch drops `role`: reads project it away; tool_name survives
+    MergeApply.applyBatch(table, spark.createDataset(Seq(
+      ev(4, 5, "d", 1, "four", Some("browse")))).toDF(), 2)
+    assert(table.current.schemaVer == 5)
+    val atV5 = table.read()
+    assert(!atV5.schema.fieldNames.contains("role"))
+    val gotV5 = atV5.orderBy("conv_id")
+      .select($"conv_id", $"turn_idx", $"text", $"tool_name")
+      .as[(String, Long, String, Option[String])].collect().toSeq
+    assert(gotV5 == Seq(("a", 1L, "one", Some("calc")), ("b", 1L, "two", None),
+      ("c", 1L, "three", Some("search")), ("d", 1L, "four", Some("browse"))))
+
+    // replay equality across the boundary: a fresh table replaying the
+    // same batches in one go reaches the same final state
+    val table2 = LakeTable.create(spark, tmp(), schemaVer = 2, numBuckets = 4,
+      registry = registry, renames = renames)
+    MergeApply.applyBatch(table2, spark.createDataset(Seq(
+      ev(1, 2, "a", 1, "one", Some("calc")),
+      ev(2, 2, "b", 1, "two", None),
+      ev(3, 4, "c", 1, "three", Some("search")),
+      ev(4, 5, "d", 1, "four", Some("browse")))).toDF(), 0)
+    val gotOneShot = table2.read().orderBy("conv_id")
+      .select($"conv_id", $"turn_idx", $"text", $"tool_name")
+      .as[(String, Long, String, Option[String])].collect().toSeq
+    assert(gotOneShot == gotV5)
+  }
+
   test("merge modes: insert-only / update-only gate the matched arm (M4)") {
     import spark.implicits._
     import graft.cdc.MergeMode
