@@ -26,10 +26,16 @@ object AdditiveMerge {
   /** @param batchHashCol aggregate column folding the delta to its content
     *                     hash — exact-value `_hsum` sums where available
     *                     ([[LakeTable.batchContentHashFromSums]])
+    * @param partitionCap ceiling on write partitions (→ output files) per
+    *                     commit: additive tables are small relative to
+    *                     their touched-bucket count, so one file per
+    *                     touched bucket is pure small-files/task overhead
+    *                     (MaterializedPairs caps at 8)
     * @return true when applied; false when fenced, hash-deduped, or empty
     */
   def apply(table: LakeTable, delta0: DataFrame, epochId: Long,
-      writerId: String, batchHashCol: Column): Boolean = {
+      writerId: String, batchHashCol: Column,
+      partitionCap: Int = Int.MaxValue): Boolean = {
     val cur = table.current
     if (table.fenced(cur, epochId, writerId)) return false
     val b = cur.numBuckets
@@ -68,7 +74,7 @@ object AdditiveMerge {
         .withColumn("_deleted", lit(false))
         .withColumn("_bucket", MergeApply.bucketOf(col(keyCols.head), b))
       val files = table.writeDataFiles(
-        merged.repartition(math.max(1, touched.size), col("_bucket")),
+        merged.repartition(math.max(1, math.min(touched.size, partitionCap)), col("_bucket")),
         schemaVer = cur.schemaVer)
       val newLive = files.map(_.live).sum
       // Unknown live stats (-1 from a foreign writer's statless footer)

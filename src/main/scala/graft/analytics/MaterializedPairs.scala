@@ -143,7 +143,10 @@ object MaterializedPairs {
     // ([[AdditiveMerge]]); pair counts are exact longs, so the plain
     // column hash is already order-stable (no `_hsum` needed)
     AdditiveMerge(table, candidatePairs(deltaFacts, minOrders = 1L), epochId, writerId,
-      LakeTable.batchContentHash(Seq(col("p1"), col("p2"), col("n_orders"))))
+      LakeTable.batchContentHash(Seq(col("p1"), col("p2"), col("n_orders"))),
+      // pair-table commits are small: cap output files well below one per
+      // touched bucket (pre-kernel-extraction behavior)
+      partitionCap = 8)
 
   /** The analytics view: stored counts with the HAVING floor applied at
     * read time (write-time thresholding would break count additivity).

@@ -69,9 +69,31 @@ object CdcStream {
     */
   def writerIdOf(checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft-writer-id")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // Resolve the checkpoint FS through the SESSION's Hadoop conf when a
+    // session exists (spark.hadoop.* carries s3a/abfs/gcs credentials and
+    // endpoints — a bare Configuration() can fail to authenticate or
+    // resolve a different FS than the stream itself); bare defaults only
+    // when no session is up at all.
+    val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(hadoopConf).getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     if (fs.exists(p)) return LakeTable.readString(fs, p).trim
-    val fresh = "w-" + java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    // Upgrade compat: a checkpoint created BEFORE the id file existed has
+    // offsets/commits but no id. Minting a fresh UUID would change identity
+    // while epochIds continue from N — the crash-window batch at upgrade
+    // time would re-apply unfenced (benign for LWW table state, but a
+    // duplicate snapshot/metrics row; additive tables fall back to the
+    // hash window). Seed with the legacy path-hash id those checkpoints
+    // committed under instead; only a genuinely EMPTY checkpoint mints.
+    val legacyState =
+      fs.exists(new org.apache.hadoop.fs.Path(checkpointDir, "offsets")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(checkpointDir, "commits"))
+    val fresh =
+      if (legacyState) {
+        val d = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        "w-" + d.take(6).map(b => f"$b%02x").mkString
+      } else "w-" + java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     fs.mkdirs(p.getParent)
     // same atomic-claim primitive the snapshot commits use (NIO CREATE_NEW
     // on file://, where Hadoop's create(overwrite=false) is non-atomic)
@@ -129,11 +151,18 @@ object CdcStream {
             // walk is bounded by retention, and an expired / absent target
             // means the true stats are gone: skip (absence beats wrong
             // attribution).
+            // The walk is additionally BOUNDED by the per-writer epoch
+            // watermark: when `fenced` is false at a snapshot, this
+            // writer's commit of this epoch is not there or deeper — in
+            // particular a batch that was content-hash-fenced (applied =
+            // false with NO matching snapshot) skips the walk entirely
+            // instead of reading every retained manifest back to the root
+            // on each replay.
             var cur = table.current
             var walkable = true
             while (walkable &&
               !(!cur.maint && cur.epochId == epochId && cur.writerId == wid) &&
-              cur.parent >= 0)
+              cur.parent >= 0 && table.fenced(cur, epochId, wid))
               try cur = table.snapshot(cur.parent)
               catch { case scala.util.control.NonFatal(_) => walkable = false }
             if (walkable && !cur.maint && cur.epochId == epochId &&

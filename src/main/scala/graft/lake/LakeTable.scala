@@ -1392,10 +1392,16 @@ final class LakeTable(
       // young (possibly in-flight) file and it predates the grace cutoff;
       // a dir whose files were deleted JUST NOW has a refreshed mtime on
       // POSIX and is reclaimed by the next expiry instead — one cycle
-      // late, never wrongly.
+      // late, never wrongly. A `_temporary` child marks an IN-FLIGHT
+      // write that has produced no part files yet — mtime alone cannot
+      // protect it (orphanGraceMs=0 maintenance, object stores with
+      // synthetic dir mtimes), so its presence vetoes deletion outright.
+      def inFlight(d: Path): Boolean =
+        try fs.listStatus(d).exists(_.getPath.getName == "_temporary")
+        catch { case _: java.io.FileNotFoundException => false }
       fs.listStatus(dataDir).foreach { st =>
         if (st.isDirectory && !liveCommitDirs.contains(st.getPath.getName) &&
-          st.getModificationTime < cutoff)
+          st.getModificationTime < cutoff && !inFlight(st.getPath))
           fs.delete(st.getPath, true)
       }
     }

@@ -63,6 +63,20 @@ class ExpirySpec extends AnyFunSuite {
     assert(table.read().count() == 20L)
   }
 
+  test("expiry never reclaims a commit dir holding only an in-flight _temporary") {
+    val root = Files.createTempDirectory("graft-expiry-").toString
+    val table = LakeTable.create(spark, root, schemaVer = 2, numBuckets = 4)
+    commitBatch(table, 0L)
+    // an in-flight writer's staging dir: no part files yet, old mtime
+    // (object stores report synthetic dir mtimes), grace 0
+    val staging = new java.io.File(s"$root/data/c999-inflight/_temporary")
+    assert(staging.mkdirs())
+    assert(staging.getParentFile.setLastModified(System.currentTimeMillis() - 3600_000))
+    table.expireSnapshots(keepLast = 1, orphanGraceMs = 0L)
+    assert(staging.exists(), "in-flight staging dir must survive the sweep")
+    assert(table.read().count() == 20L)
+  }
+
   test("negative olderThanMs preserves the count-based behavior exactly") {
     val root = Files.createTempDirectory("graft-expiry-").toString
     val table = LakeTable.create(spark, root, schemaVer = 2, numBuckets = 4)
