@@ -44,6 +44,16 @@ object CdcStream {
     *                  apply a no-op and metric emission is
     *                  overwrite-by-epoch.
     */
+  /** @param expireEveryEpochs run snapshot expiry + orphan GC every N
+    *                  applied epochs (0 = never): the in-stream face of the
+    *                  retention lifecycle, so an unattended long-running
+    *                  stream's `_meta`/data graveyard stays bounded without
+    *                  an out-of-band maintenance job. Retention knobs
+    *                  mirror [[LakeTable.expireSnapshots]]; the orphan
+    *                  grace defaults to the multi-writer-safe value — only
+    *                  a deployment certain it is the sole writer should
+    *                  lower it.
+    */
   final case class StreamConfig(
       maxFilesPerTrigger: Int = 4,
       saltFactor: Int = 4,
@@ -52,7 +62,11 @@ object CdcStream {
       mode: MergeMode = MergeMode.Upsert,
       strategy: WriteStrategy = WriteStrategy.CopyOnWrite,
       compactEveryEpochs: Int = 0,
-      retry: RetryPolicy = RetryPolicy.default)
+      retry: RetryPolicy = RetryPolicy.default,
+      expireEveryEpochs: Int = 0,
+      expireKeepLast: Int = 2,
+      expireOlderThanMs: Long = -1L,
+      expireOrphanGraceMs: Long = LakeTable.defaultOrphanGraceMs)
 
   /** Stream identity for epoch fencing: a UUID minted on first use and
     * persisted INSIDE the checkpoint (`<checkpoint>/graft-writer-id`) —
@@ -183,6 +197,12 @@ object CdcStream {
           epochId % cfg.compactEveryEpochs == (cfg.compactEveryEpochs - 1))
           Retry.run(cfg.retry, s"epoch $epochId compaction") {
             table.compact(foldDeltas = true)
+          }
+        if (cfg.expireEveryEpochs > 0 &&
+          epochId % cfg.expireEveryEpochs == (cfg.expireEveryEpochs - 1))
+          Retry.run(cfg.retry, s"epoch $epochId expiry") {
+            table.expireSnapshots(cfg.expireKeepLast, cfg.expireOrphanGraceMs,
+              cfg.expireOlderThanMs)
           }
         ()
       }

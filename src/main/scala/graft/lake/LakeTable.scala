@@ -961,10 +961,18 @@ final class LakeTable(
           })
           .map(c => col(c).cast(LongType))
           .getOrElse(lit(null).cast(LongType))
+        // Register the aggregates in the OBSERVED DataFrame's session:
+        // under foreachBatch the batch df belongs to a CLONED session with
+        // its own function registry, and a merge-on-read plan derives
+        // purely from the batch side — registering in the table's outer
+        // session would leave the clone's analyzer unable to resolve the
+        // function (copy-on-write masks this by deriving from the outer
+        // session's table read).
+        val obsSession = keyed.sparkSession
         (keyed.observe(o,
-          graft.functions.FileStatsAgg.column(spark, col("_fskey"),
+          graft.functions.FileStatsAgg.column(obsSession, col("_fskey"),
             not(coalesce(col("_deleted"), lit(false)))).as("fs"),
-          graft.functions.FileRangeAgg.column(spark, col("_fskey"),
+          graft.functions.FileRangeAgg.column(obsSession, col("_fskey"),
             col(keyCols.head).cast(StringType), k2, col("_lsn")).as("fr"))
           .drop("_fskey"), Some(o))
       }
