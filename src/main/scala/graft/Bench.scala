@@ -228,7 +228,11 @@ object Bench {
           try { SparkEntry.queries(w)(spark, sfDir).count(); () }
           catch { case _: Throwable => () }
         }
-        val names = SparkEntry.queries.toSeq.sortBy(_._1)
+        // Catalog entries + the production-hash twins of d2/d3: the
+        // driver hash-checks the sha256-reproducible mode; the bench
+        // times BOTH so the published table shows production cost too.
+        val names = (SparkEntry.queries.toSeq ++
+          graft.sim.SimilarityQueries.prodVariants).sortBy(_._1)
         def onePass(): Seq[(String, Double)] = names.map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }

@@ -373,23 +373,63 @@ object SimilarityQueries {
     * mirroring the d2 MinHash guard).
     */
   private[sim] val d3 = Q("d3_simhash",
-    (spark, dir) => {
-      val sh = simhash(docs(spark, dir))
-      val bucketed = sh.withColumn("bucket", shiftright(col("simhash"), simhashBits - 16))
-      val small = bucketed.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxSimhashBucket)
-        .select(col("bucket"))
-      val kept = bucketed.join(small, Seq("bucket"))
-      kept.as("a")
-        .join(kept.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming",
-          expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)"))
-        .filter(col("hamming") <= 8)
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("hamming"))
-        .orderBy("d1", "d2")
-    },
+    (spark, dir) => simhashPairs(simhash(docs(spark, dir))),
     Some(d3OracleSql))
+
+  /** Bucket-join pairing over a (doc_id, simhash) frame — shared by the
+    * reproducible catalog entry and the production-hash bench twin.
+    */
+  def simhashPairs(sh: DataFrame): DataFrame = {
+    val bucketed = sh.withColumn("bucket", shiftright(col("simhash"), simhashBits - 16))
+    val small = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxSimhashBucket)
+      .select(col("bucket"))
+    val kept = bucketed.join(small, Seq("bucket"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)"))
+      .filter(col("hamming") <= 8)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("hamming"))
+      .orderBy("d1", "d2")
+  }
+
+  /** xxhash64 production twin of [[simhash]]: bit b of the fingerprint
+    * reads bit b of xxhash64(token) — no hex strings, no sha256 digests;
+    * the whole bit-sum stage is codegen'd long arithmetic. Not
+    * DuckDB-replayable (xxhash64 is Spark-side), so it carries no oracle:
+    * the driver hash-checks the sha256 mode, the bench times BOTH so the
+    * recorded numbers include what production would actually run.
+    */
+  def simhashProd(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), x => x =!= "")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = tok.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("b0"),
+      (1 until simhashBits).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+          .as(s"b$b")): _*)
+    val simhashCol = (0 until simhashBits).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    bitSums.select(col("doc_id"), simhashCol.as("simhash"))
+  }
+
+  /** Production-hash bench twins of d2/d3: identical algorithm and scale
+    * guards, xxhash64 in place of the sha256 the DuckDB oracle replays.
+    * Bench-only (no driver catalog entry — no oracle is possible), so the
+    * published per-query table reflects production cost, not just the
+    * oracle-reproducible mode (the catalog d2/d3 pay a documented ~2-3×
+    * digest premium for replayability).
+    */
+  val prodVariants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "d2_minhash_lsh_prod" -> ((spark: SparkSession, dir: String) =>
+      minhashPairs(docs(spark, dir), minJaccardEst = 0.5)),
+    "d3_simhash_prod" -> ((spark: SparkSession, dir: String) =>
+      simhashPairs(simhashProd(docs(spark, dir)))))
 
   /** Token-level SimHash: per bit, sum +/-1 over token hashes, bit set
     * where the sum is positive. Relational shape: explode tokens once,

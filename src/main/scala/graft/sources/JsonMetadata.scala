@@ -221,6 +221,136 @@ object JsonMetadata {
           FROM smp s JOIN memx m ON m.sample_accession = s.sample_accession
           ORDER BY m.study, s.sample_accession"""))
 
+  /** Input shape of [[graft.etl.ExpressionPipeline.sampleDim]]: samples{}
+    * flattened with each sample's owning study and the study-level
+    * technology string. A deterministic third of the samples get a BLANK
+    * study_technology so the driver-checked result exercises
+    * [[Classifiers.technology]]'s platform-fallback arm, not just the
+    * study-technology fast path.
+    */
+  private def samplesWithTech(doc: DataFrame): DataFrame = {
+    val tech = doc.select(explode(map_entries(col("experiments"))).as("e"))
+      .select(col("e.key").as("study"),
+        col("e.value.technology").as("raw_tech"),
+        explode(col("e.value.sample_accession_codes")).as("sample_accession_code"))
+    val samp = doc.select(explode(map_entries(col("samples"))).as("s"))
+      .select(col("s.key").as("sample_accession_code"),
+        col("s.value.refinebio_title").as("refinebio_title"),
+        col("s.value.refinebio_organism").as("refinebio_organism"),
+        col("s.value.refinebio_platform").as("refinebio_platform"))
+    samp.join(tech, Seq("sample_accession_code"))
+      .withColumn("study_technology",
+        when(substring(col("sample_accession_code"), 4, 16).cast("long") % 3 === 0,
+          lit("")).otherwise(col("raw_tech")))
+      .drop("raw_tech")
+  }
+
+  /** The DuckDB twin of the blanked study_technology above. */
+  private val duckTech =
+    """CASE WHEN CAST(substr(sample_accession_code, 4) AS BIGINT) % 3 = 0
+            THEN '' ELSE tech END"""
+
+  /** Normalized descriptor (trim → collapse [-_]+ → collapse ws → lower)
+    * over coalesce(study tech, platform) — the SQL twin of
+    * [[Classifiers.normalizeDescriptor]]∘coalesce.
+    */
+  private def duckDescriptor(techExpr: String, platformExpr: String) =
+    s"""lower(regexp_replace(regexp_replace(trim(coalesce(
+          nullif(trim($techExpr), ''), $platformExpr)),
+          '[-_]+', ' ', 'g'), '\\s+', ' ', 'g'))"""
+
+  /** C4 ▸ measurement-technology inference on the driver-checked path:
+    * study technology string wins when present, platform descriptor is
+    * the fallback, both through the normalize → rlike chain (reference:
+    * _infer_measurement_technology, Scripts/python/enhanced_main_etl.py:46-80).
+    */
+  private val c4 = Q("c4_tech_inference",
+    (spark, _) => {
+      val sw = samplesWithTech(fixtureDoc(spark))
+      sw.select(col("sample_accession_code"), col("study"),
+        col("study_technology"), col("refinebio_platform").as("platform"),
+        Classifiers.technology(col("study_technology"), col("refinebio_platform"))
+          .as("measurement_technology"))
+        .orderBy("sample_accession_code")
+    },
+    Some(s"""WITH doc AS (SELECT * FROM $duckMaps),
+          mem AS (SELECT unnest(map_keys(experiments)) AS study,
+                         unnest(map_values(experiments)) AS ev FROM doc),
+          memx AS (SELECT study, ev.technology AS tech,
+                          unnest(ev.sample_accession_codes) AS sample_accession_code FROM mem),
+          smp AS (SELECT unnest(map_keys(samples)) AS sample_accession_code,
+                         unnest(map_values(samples)) AS sv FROM doc),
+          j AS (SELECT s.sample_accession_code, m.study,
+                       $duckTech AS study_technology,
+                       sv.refinebio_platform AS platform
+                FROM smp s JOIN memx m USING (sample_accession_code)),
+          d AS (SELECT *, ${duckDescriptor("study_technology", "platform")} AS descr FROM j)
+          SELECT sample_accession_code, study, study_technology, platform,
+                 CASE WHEN regexp_matches(descr, 'rna ?seq|sequencing') THEN 'RNA-SEQ'
+                      WHEN regexp_matches(descr, 'array|microarray|genechip|beadchip')
+                        THEN 'MICROARRAY'
+                      ELSE 'OTHER' END AS measurement_technology
+          FROM d ORDER BY sample_accession_code"""))
+
+  /** C6 ▸ the full sample-dimension transform on the driver-checked path —
+    * [[graft.etl.ExpressionPipeline.sampleDim]] verbatim: illness classify
+    * (C1, override beats rule — one planted override), platform parse
+    * (C2), manufacturer lookup (C3) and technology inference (C4) in one
+    * projection (reference: _transform_sample,
+    * Scripts/python/enhanced_main_etl.py:642-676).
+    */
+  private val c6Override: (String, String) = "SRS1000000" -> "OVERRIDE_LAB"
+
+  private val c6 = Q("c6_sample_transform",
+    (spark, _) => {
+      val sw = samplesWithTech(fixtureDoc(spark))
+      graft.etl.ExpressionPipeline.sampleDim(sw, Map(c6Override))
+        .orderBy("sample_accession_code")
+    },
+    Some {
+      val (oKey, oLabel) = c6Override
+      // the shipped default rule set (RulesConfig.defaultJson), restated
+      val ruleChain =
+        """CASE WHEN regexp_matches(title, 'septic[ _-]?shock', 'i') THEN 'SEPTIC_SHOCK'
+                WHEN regexp_matches(title, 'no[ _-]?sepsis|non[ _-]?septic', 'i') THEN 'NO_SEPSIS'
+                WHEN regexp_matches(title, 'sepsis|septic', 'i') THEN 'SEPSIS'
+                WHEN regexp_matches(title, 'control|healthy|normal', 'i') THEN 'CONTROL' END"""
+      s"""WITH doc AS (SELECT * FROM $duckMaps),
+          mem AS (SELECT unnest(map_keys(experiments)) AS study,
+                         unnest(map_values(experiments)) AS ev FROM doc),
+          memx AS (SELECT study, ev.technology AS tech,
+                          unnest(ev.sample_accession_codes) AS sample_accession_code FROM mem),
+          smp AS (SELECT unnest(map_keys(samples)) AS sample_accession_code,
+                         unnest(map_values(samples)) AS sv FROM doc),
+          j AS (SELECT s.sample_accession_code,
+                       sv.refinebio_title AS title,
+                       sv.refinebio_organism AS organism,
+                       sv.refinebio_platform AS platform,
+                       $duckTech AS study_technology
+                FROM smp s JOIN memx m USING (sample_accession_code)),
+          d AS (SELECT *, ${duckDescriptor("study_technology", "platform")} AS descr FROM j)
+          SELECT sample_accession_code, title AS sample_title, organism,
+                 coalesce(CASE WHEN sample_accession_code = '$oKey' THEN '$oLabel' END,
+                          $ruleChain, 'UNKNOWN') AS illness_label,
+                 CASE WHEN sample_accession_code = '$oKey' THEN 'override'
+                      WHEN $ruleChain IS NOT NULL THEN 'rule'
+                      ELSE 'default' END AS illness_method,
+                 coalesce(nullif(regexp_extract(platform, '$platformRe', 2), ''),
+                          trim(platform)) AS platform_accession,
+                 coalesce(nullif(trim(regexp_extract(platform, '$platformRe', 1)), ''),
+                          trim(platform)) AS platform_name,
+                 CASE WHEN contains(lower(platform), 'illumina') THEN 'Illumina'
+                      WHEN contains(lower(platform), 'affymetrix') THEN 'Affymetrix'
+                      WHEN contains(lower(platform), 'agilent') THEN 'Agilent'
+                      WHEN contains(lower(platform), 'nanostring') THEN 'NanoString'
+                      ELSE 'Unknown' END AS manufacturer,
+                 CASE WHEN regexp_matches(descr, 'rna ?seq|sequencing') THEN 'RNA-SEQ'
+                      WHEN regexp_matches(descr, 'array|microarray|genechip|beadchip')
+                        THEN 'MICROARRAY'
+                      ELSE 'OTHER' END AS measurement_technology
+          FROM d ORDER BY sample_accession_code"""
+    })
+
   private val c7 = Q("c7_study_transform",
     (spark, _) => studies(fixtureDoc(spark)).orderBy("study"),
     Some(s"""WITH doc AS (SELECT * FROM $duckMaps),
@@ -232,5 +362,5 @@ object JsonMetadata {
                  CAST(len(ev.sample_accession_codes) AS INTEGER) AS n_samples
           FROM e ORDER BY study"""))
 
-  val all: Seq[Q] = Seq(s2, c7)
+  val all: Seq[Q] = Seq(s2, c4, c6, c7)
 }
