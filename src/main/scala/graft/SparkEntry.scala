@@ -222,6 +222,41 @@ object SparkEntry {
     """EXISTS (SELECT 1 FROM live0 l
          WHERE l.conv_id = d.conv_id AND l.turn_idx = d.turn_idx)""")
 
+  private val pointReadDump = "/tmp/graft_oracle/cdc_change_events_ptr"
+  private val rangeReadDump = "/tmp/graft_oracle/cdc_change_events_rng"
+
+  /** Stats-pruned read paths on the driver-checked path: replay 4 epochs
+    * (≤4 files per bucket — manifest min/max skipping has real work to
+    * do), then read back one conversation ([[LakeTable.readKey]]) or a
+    * key range ([[LakeTable.readKeyRange]]). The oracle recomputes LWW
+    * winners from the dumped log restricted to the same keys — a file
+    * wrongly skipped loses rows, a wrongly-kept file double-counts
+    * nothing (the resolve re-derives winners), so the hash check is
+    * sensitive to exactly the skipping bugs.
+    */
+  private def keyReadReplay(spark: SparkSession, dump: String,
+      read: LakeTable => DataFrame): DataFrame = {
+    val cfg = GenConfig(numEvents = 2000L)
+    ChangeGen.events(spark, cfg).toDF().coalesce(1).write.mode("overwrite").parquet(dump)
+    val root = java.nio.file.Files.createTempDirectory("graft-keyread-").toString + "/transcripts"
+    val table = LakeTable.create(spark, root, schemaVer = 1, numBuckets = 8)
+    val batches = 4
+    val per = (cfg.totalRows + batches - 1) / batches
+    (0 until batches).foreach { b =>
+      val slice = ChangeGen.eventSlice(spark, cfg, b * per, math.min(cfg.totalRows, (b + 1) * per))
+      MergeApply.applyBatch(table, slice.toDF(), epochId = b.toLong)
+    }
+    read(table).orderBy("conv_id", "turn_idx")
+  }
+
+  private def keyReadOracle(dump: String, where: String): String =
+    s"""SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY lsn DESC) AS rn
+          FROM read_parquet('$dump/*.parquet'))
+        WHERE rn = 1 AND op <> 'D' AND $where
+        ORDER BY conv_id, turn_idx"""
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.run).toMap +
@@ -253,7 +288,14 @@ object SparkEntry {
       // final state invariant under the same LWW oracle.
       ("cdc_replay_rebucket" ->
         ((s: SparkSession, _: String) => cdcReplay(s, 2000L, 4, Some(rebucketDump),
-          rebucketMidway = Some(32))))
+          rebucketMidway = Some(32)))) +
+      // Stats-pruned point / range reads (manifest min/max file skipping)
+      ("cdc_point_read" ->
+        ((s: SparkSession, _: String) => keyReadReplay(s, pointReadDump,
+          _.readKey("conv-000003")))) +
+      ("cdc_range_read" ->
+        ((s: SparkSession, _: String) => keyReadReplay(s, rangeReadDump,
+          _.readKeyRange("conv-000100", "conv-000149"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -266,6 +308,9 @@ object SparkEntry {
       ("m4_insert_only" -> insertOnlyOracle) +
       ("m4_update_only" -> updateOnlyOracle) +
       ("cdc_changes_since" -> changesSinceOracle) +
-      ("cdc_replay_rebucket" -> rebucketOracle))
+      ("cdc_replay_rebucket" -> rebucketOracle) +
+      ("cdc_point_read" -> keyReadOracle(pointReadDump, "conv_id = 'conv-000003'")) +
+      ("cdc_range_read" -> keyReadOracle(rangeReadDump,
+        "conv_id BETWEEN 'conv-000100' AND 'conv-000149'")))
       .map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
