@@ -402,6 +402,14 @@ final class LakeTable(
   def filesForKey(key: String): Seq[FileEntry] = filesForKey(current, key)
 
   def filesForKey(snap: Snapshot, key: String): Seq[FileEntry] = {
+    // String-key guard, same as readKeyRange: bucketOfKey hashes the
+    // STRING form, but the write side bucketed on the native column — on
+    // a long-keyed table (e.g. the materialized pair table) the two
+    // hashes disagree and a point read would prune to the wrong bucket
+    // and silently return empty. Fail loudly instead.
+    require(registry(snap.schemaVer)(keyCols.head).dataType == StringType,
+      s"readKey/filesForKey hash the string form of the key; " +
+        s"key column ${keyCols.head} is not a string")
     val b = bucketOfKey(key, snap.numBuckets)
     val k = org.apache.spark.unsafe.types.UTF8String.fromString(key)
     snap.files.filter(f => f.bucket == b && mayContainKey(f, k))

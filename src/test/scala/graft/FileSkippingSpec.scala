@@ -143,4 +143,20 @@ class FileSkippingSpec extends AnyFunSuite {
     // known ranges DO skip
     assert(!LakeTable.mayContainKey(withStats, probe))
   }
+
+  test("point read on a non-string-keyed table fails loudly, not silently empty") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("p1", LongType, nullable = false),
+      StructField("p2", LongType, nullable = false),
+      StructField("n", LongType)))
+    val table = LakeTable.create(spark, tmp() + "/pairs", schemaVer = 1,
+      numBuckets = 4, registry = Map(1 -> schema), keyCols = Seq("p1", "p2"))
+    // bucketOfKey hashes the STRING form; the write side bucketed on the
+    // native long — a silent wrong-bucket prune would return empty here
+    val e = intercept[IllegalArgumentException](table.readKey("42"))
+    assert(e.getMessage.contains("not a string"))
+    val e2 = intercept[IllegalArgumentException](table.filesForKey("42"))
+    assert(e2.getMessage.contains("not a string"))
+  }
 }
