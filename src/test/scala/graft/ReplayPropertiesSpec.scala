@@ -77,6 +77,38 @@ class ReplayPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  /** Stats-pruned reads must equal the unpruned read + filter for ANY log
+    * — including tombstoned keys, multi-file buckets (4 splits), and
+    * merge-on-read delta stacks. A wrongly-skipped file loses rows here.
+    */
+  test("property: readKey / readKeyRange ≡ filtered full read, CoW and MoR") {
+    import graft.cdc.WriteStrategy
+    forSamples(genLog, 3) { log =>
+      import spark.implicits._
+      Seq(WriteStrategy.CopyOnWrite, WriteStrategy.MergeOnRead).foreach { strat =>
+        val root = Files.createTempDirectory("graft-propk-").toString
+        val table = LakeTable.create(spark, root, schemaVer = 1, numBuckets = 2)
+        val per = math.max(1, (log.size + 3) / 4)
+        log.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          MergeApply.applyBatch(table, spark.createDataset(chunk.toSeq).toDF(),
+            i.toLong, strategy = strat)
+        }
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.orderBy("conv_id", "turn_idx")
+            .select($"conv_id", $"turn_idx", $"text")
+            .as[(String, Int, String)].collect().toSeq
+        val full = table.read()
+        (0 to 4).map(i => s"c$i").foreach { k =>
+          assert(rows(table.readKey(k)) == rows(full.filter($"conv_id" === k)),
+            s"readKey($k) drifted under $strat")
+        }
+        assert(rows(table.readKeyRange("c1", "c3")) ==
+          rows(full.filter($"conv_id" >= "c1" && $"conv_id" <= "c3")),
+          s"readKeyRange drifted under $strat")
+      }
+    }
+  }
+
   test("property: applying the full log twice equals applying once") {
     forSamples(genLog, 3) { log =>
       import spark.implicits._
