@@ -39,6 +39,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("w1_ranked_topk").contains("TakeOrderedAndProject"))
   }
 
+  /** Point reads stand on two prunes: manifest file skipping (pinned by
+    * FileSkippingSpec on file COUNTS) and the key predicate reaching the
+    * parquet scan for row-group pruning INSIDE the kept files — pinned
+    * here on the plan text, since a resolve-shape change could silently
+    * lift the filter above the scan and still return correct rows.
+    */
+  test("readKey: the key equality predicate pushes down to the parquet scan") {
+    import graft.lake.LakeTable
+    import graft.cdc.MergeApply
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-shape-").toString
+    val table = LakeTable.create(spark, root, schemaVer = 2, numBuckets = 4)
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val evs = (0 until 64).map(i => graft.model.Model.ChangeEvent(
+      i + 1L, "I", 2, s"conv-$i", 0, Some("user"), Some(s"t$i"), None, Some(ts)))
+    MergeApply.applyBatch(table, spark.createDataset(evs).toDF(), 0L)
+    val p = table.readKey("conv-7").queryExecution.explainString(FormattedMode)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.isDefined, "no PushedFilters line in the point-read plan")
+    assert(pushed.get.contains("EqualTo(conv_id,conv-7)"),
+      s"key equality did not reach the scan: ${pushed.get}")
+  }
+
   test("q1: aggregation is partial (map-side combine) with a pruned scan") {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum"))
