@@ -313,6 +313,25 @@ final class LakeTable(
   def physicalSchema(ver: Int): StructType =
     StructType(registry(ver).fields ++ internalCols)
 
+  /** Snapshot history as a DataFrame — the operational metadata surface
+    * (Iceberg's `.history`/`.snapshots` shape): one row per RETAINED
+    * snapshot with commit lineage, writer identity, schema/bucket layout,
+    * row accounting and the commit instant (manifest mtime — the claim
+    * instant, same clock [[expireSnapshots]]' age-based retention uses).
+    * Driver-side metadata only, bounded by retention: expireSnapshots
+    * caps how many manifests exist, so this never scans data.
+    */
+  def history: DataFrame = {
+    import spark.implicits._
+    snapshotIds.map { id =>
+      val mtime = fs.getFileStatus(snapPath(id)).getModificationTime
+      val s = snapshot(id)
+      (s.id, s.parent, s.epochId, s.writerId, s.schemaVer, s.numBuckets,
+        s.rows, s.maxLsn, s.maint, s.files.size.toLong, new java.sql.Timestamp(mtime))
+    }.toDF("snapshot_id", "parent_id", "epoch_id", "writer_id", "schema_ver",
+      "num_buckets", "rows", "max_lsn", "is_maintenance", "num_files", "committed_at")
+  }
+
   // ---- read path ----
 
   /** Public read: current schema, live rows only, internal cols dropped.

@@ -36,6 +36,31 @@ class ExpirySpec extends AnyFunSuite {
     assert(f.setLastModified(System.currentTimeMillis() - ageMs))
   }
 
+  test("history lists retained snapshots with lineage, maintenance flag, and shrinks with expiry") {
+    val root = Files.createTempDirectory("graft-expiry-").toString
+    val table = LakeTable.create(spark, root, schemaVer = 2, numBuckets = 4)
+    commitBatch(table, 0L)
+    // merge-on-read epoch: appends deltas, so the compaction below has
+    // real fold work (two CoW epochs leave one file per bucket — no-op)
+    import spark.implicits._
+    val df = spark.createDataset((0 until 20).map(i =>
+      ev(100L + i, s"conv-${i % 5}", i % 4 + 1))).toDF()
+    assert(MergeApply.applyBatch(table, df, epochId = 1L,
+      strategy = graft.cdc.WriteStrategy.MergeOnRead).applied)
+    assert(table.compact(foldDeltas = true).applied)
+    val h = table.history.orderBy("snapshot_id").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L), "ids 0..3 retained")
+    // lineage: each row's parent is the previous id (create's parent is -1)
+    assert(h.map(_.getLong(1)).toSeq == Seq(-1L, 0L, 1L, 2L))
+    // the compaction row is flagged maintenance and carries epoch 1 forward
+    val maint = h.last
+    assert(maint.getBoolean(maint.fieldIndex("is_maintenance")))
+    assert(maint.getLong(maint.fieldIndex("epoch_id")) == 1L)
+    assert(h.forall(r => !r.isNullAt(r.fieldIndex("committed_at"))))
+    table.expireSnapshots(keepLast = 1, orphanGraceMs = 0L)
+    assert(table.history.count() == 1L)
+  }
+
   test("age-based retention keeps young snapshots beyond keepLast, drops old ones") {
     val root = Files.createTempDirectory("graft-expiry-").toString
     val table = LakeTable.create(spark, root, schemaVer = 2, numBuckets = 4)
