@@ -24,7 +24,7 @@ object SparkEntry {
     SimilarityQueries.all ++ graft.sources.JsonMetadata.all ++
     graft.analytics.IncrementalStats.all ++ graft.cdc.Scd2History.all ++
     graft.analytics.MaterializedPairs.all ++
-    graft.streaming.StreamAnalytics.all
+    graft.streaming.StreamAnalytics.all ++ graft.etl.ExpressionPipeline.all
 
   /** Flagship: end-to-end CDC replay — generate a deterministic change
     * stream, merge-apply it into a fresh lake table in 3 epochs (schema

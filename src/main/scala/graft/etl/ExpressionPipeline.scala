@@ -125,6 +125,60 @@ object ExpressionPipeline {
         when(col("expression_value") > 0, log(2.0, col("expression_value"))))
   }
 
+  // ---- driver catalog entry: the S1 scan + P1/P2 melt, DuckDB-oracled ----
+
+  /** Deterministic TSV expression-matrix fixture (reference shape:
+    * gene rows × sample columns, Scripts/python/enhanced_main_etl.py:375-410).
+    * Values carry 2 decimals so both engines parse the identical decimal
+    * string to the identical double. Content-skip + atomic move, same
+    * rationale as [[graft.sources.JsonMetadata.writeFixture]] (the DuckDB
+    * oracle reads the same path, possibly from another process).
+    */
+  def fixtureTsv(nGenes: Int = 40, nSamples: Int = 8, seed: Long = 7L): String = {
+    @inline def mix(z: Long) = graft.functions.Splitmix.mix(z)
+    val samples = (0 until nSamples).map(j => f"SRS${2000000 + j * 17}%07d")
+    val sb = new StringBuilder
+    sb ++= ("Gene" +: samples).mkString("\t")
+    sb += '\n'
+    (0 until nGenes).foreach { i =>
+      val vals = (0 until nSamples).map { j =>
+        val v = ((mix(mix(seed ^ i) ^ j) % 100000L + 100000L) % 100000L) / 100.0
+        f"$v%.2f"
+      }
+      sb ++= (s"GENE$i" +: vals).mkString("\t")
+      sb += '\n'
+    }
+    sb.toString
+  }
+
+  private val fixturePath = "/tmp/graft_oracle/expr_matrix.tsv"
+
+  /** S1/P1/P2 ▸ the matrix pipeline head on the driver-checked path:
+    * header-driven TSV scan → melt → annotate, against DuckDB's read_csv +
+    * UNPIVOT over the same file.
+    */
+  val s1: graft.analytics.RelationalQueries.Q = graft.analytics.RelationalQueries.Q(
+    "s1_matrix_melt",
+    (spark, _) => {
+      graft.sources.JsonMetadata.writeFixture(fixturePath, fixtureTsv())
+      val m = readMatrix(spark, fixturePath)
+      melt(m, study = "SRP000001", fileName = "expr_matrix.tsv", fileHash = "h0")
+        .select(col("gene_id"), col("sample_accession_code"),
+          round(col("expression_value"), 4).as("expression_value"),
+          col("study_accession_code"), col("file_name"))
+        .orderBy("gene_id", "sample_accession_code")
+    },
+    Some(s"""SELECT Gene AS gene_id, sample_accession_code,
+          round(expression_value, 4) AS expression_value,
+          'SRP000001' AS study_accession_code,
+          'expr_matrix.tsv' AS file_name
+        FROM (UNPIVOT (SELECT * FROM read_csv('$fixturePath', delim='\t', header=true))
+              ON COLUMNS(* EXCLUDE (Gene))
+              INTO NAME sample_accession_code VALUE expression_value)
+        ORDER BY gene_id, sample_accession_code"""))
+
+  val all: Seq[graft.analytics.RelationalQueries.Q] = Seq(s1)
+
   /** M5/J5 ▸ idempotent append: anti-join away rows whose
     * (file_hash, gene_id, sample) identity is already in the target —
     * replaying the same file is a no-op (reference: staging PK +
