@@ -134,14 +134,17 @@ object ExpressionPipeline {
     * rationale as [[graft.sources.JsonMetadata.writeFixture]] (the DuckDB
     * oracle reads the same path, possibly from another process).
     */
-  def fixtureTsv(nGenes: Int = 40, nSamples: Int = 8, seed: Long = 7L): String = {
+  def fixtureTsv(nGenes: Int = 40, nSamples: Int = 8, seed: Long = 7L,
+      sampleIds: Seq[String] = Nil): String = {
     @inline def mix(z: Long) = graft.functions.Splitmix.mix(z)
-    val samples = (0 until nSamples).map(j => f"SRS${2000000 + j * 17}%07d")
+    val samples =
+      if (sampleIds.nonEmpty) sampleIds
+      else (0 until nSamples).map(j => f"SRS${2000000 + j * 17}%07d")
     val sb = new StringBuilder
     sb ++= ("Gene" +: samples).mkString("\t")
     sb += '\n'
     (0 until nGenes).foreach { i =>
-      val vals = (0 until nSamples).map { j =>
+      val vals = samples.indices.map { j =>
         val v = ((mix(mix(seed ^ i) ^ j) % 100000L + 100000L) % 100000L) / 100.0
         f"$v%.2f"
       }
@@ -177,7 +180,75 @@ object ExpressionPipeline {
               INTO NAME sample_accession_code VALUE expression_value)
         ORDER BY gene_id, sample_accession_code"""))
 
-  val all: Seq[graft.analytics.RelationalQueries.Q] = Seq(s1)
+  /** EP1 ▸ the reference's full study-pipeline composition on the
+    * driver-checked path: TSV melt (S1/P1) ⋈ metadata-derived sample
+    * dimension (C6) with null-key quarantine flagging (P3) and the log2
+    * computed column (P8) — the end-to-end trace of SURVEY §3 EP1
+    * (reference: process_study, Scripts/python/enhanced_main_etl.py:920-996).
+    * Six of the eight TSV sample columns resolve against the metadata
+    * fixture's study-0 samples; two are UNKNOWN accessions, so the
+    * quarantine arm carries real rows. Hash keys (xxhash64) are excluded
+    * from the checked projection — DuckDB cannot replay Spark's xxhash64;
+    * the quarantine flag derives from the same join miss, so key
+    * resolution is still what the oracle checks.
+    */
+  private val ep1MetaPath = "/tmp/graft_oracle/metadata_ep1.json"
+  private val ep1TsvPath = "/tmp/graft_oracle/expr_matrix_ep1.tsv"
+
+  /** Study-0 sample accessions of the metadata fixture (JsonMetadata
+    * sampleIds), plus two unknowns that must quarantine.
+    */
+  private def ep1Samples: Seq[String] =
+    (0 until 6).map(j => f"SRS${1000000 + j * 13}%07d") ++
+      Seq("SRS9999990", "SRS9999991")
+
+  val ep1: graft.analytics.RelationalQueries.Q = graft.analytics.RelationalQueries.Q(
+    "ep1_resolve_quarantine",
+    (spark, _) => {
+      import graft.sources.JsonMetadata
+      JsonMetadata.writeFixture(ep1MetaPath, JsonMetadata.fixtureJson())
+      JsonMetadata.writeFixture(ep1TsvPath, fixtureTsv(sampleIds = ep1Samples))
+      val long = melt(readMatrix(spark, ep1TsvPath),
+        study = "SRP100000", fileName = "expr_matrix_ep1.tsv", fileHash = "h1")
+      val dim = sampleDim(
+        JsonMetadata.samplesWithTech(JsonMetadata.readDoc(spark, ep1MetaPath)),
+        overrides = Map.empty)
+      resolveFactsFlagged(long, dim)
+        .select(col("gene_id"), col("sample_accession_code"),
+          round(col("expression_value"), 4).as("expression_value"),
+          col("illness_label"), col("_quarantined").as("quarantined"),
+          round(col("expression_log2_value"), 6).as("log2_value"))
+        .orderBy("gene_id", "sample_accession_code")
+    },
+    Some {
+      val ruleChain =
+        """CASE WHEN regexp_matches(title, 'septic[ _-]?shock', 'i') THEN 'SEPTIC_SHOCK'
+                WHEN regexp_matches(title, 'no[ _-]?sepsis|non[ _-]?septic', 'i') THEN 'NO_SEPSIS'
+                WHEN regexp_matches(title, 'sepsis|septic', 'i') THEN 'SEPSIS'
+                WHEN regexp_matches(title, 'control|healthy|normal', 'i') THEN 'CONTROL' END"""
+      s"""WITH doc AS (SELECT * FROM ${graft.sources.JsonMetadata.duckMaps
+            .replace("/tmp/graft_oracle/metadata.json", ep1MetaPath)}),
+          smp AS (SELECT unnest(map_keys(samples)) AS sample_accession_code,
+                         unnest(map_values(samples)) AS sv FROM doc),
+          dim AS (SELECT sample_accession_code,
+                         coalesce($ruleChain, 'UNKNOWN') AS illness_label
+                  FROM (SELECT sample_accession_code, sv.refinebio_title AS title FROM smp)),
+          long AS (SELECT Gene AS gene_id, sample_accession_code,
+                          expression_value
+                   FROM (UNPIVOT (SELECT * FROM read_csv('$ep1TsvPath', delim='\t', header=true))
+                         ON COLUMNS(* EXCLUDE (Gene))
+                         INTO NAME sample_accession_code VALUE expression_value))
+          SELECT l.gene_id, l.sample_accession_code,
+                 round(l.expression_value, 4) AS expression_value,
+                 d.illness_label,
+                 d.sample_accession_code IS NULL AS quarantined,
+                 round(CASE WHEN l.expression_value > 0
+                            THEN log2(l.expression_value) END, 6) AS log2_value
+          FROM long l LEFT JOIN dim d USING (sample_accession_code)
+          ORDER BY l.gene_id, l.sample_accession_code"""
+    })
+
+  val all: Seq[graft.analytics.RelationalQueries.Q] = Seq(s1, ep1)
 
   /** M5/J5 ▸ idempotent append: anti-join away rows whose
     * (file_hash, gene_id, sample) identity is already in the target —

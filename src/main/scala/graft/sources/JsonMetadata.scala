@@ -194,7 +194,7 @@ object JsonMetadata {
   /** DuckDB reads the same document with MAP-typed columns; parallel
     * unnest of map_keys/map_values is the explode(map_entries) twin.
     */
-  private def duckMaps: String =
+  private[graft] def duckMaps: String =
     s"""read_json('$fixturePath', columns={
         experiments: 'MAP(VARCHAR, STRUCT(title VARCHAR, technology VARCHAR,
                            pubmed_id VARCHAR, organisms VARCHAR[],
@@ -228,7 +228,7 @@ object JsonMetadata {
     * [[Classifiers.technology]]'s platform-fallback arm, not just the
     * study-technology fast path.
     */
-  private def samplesWithTech(doc: DataFrame): DataFrame = {
+  private[graft] def samplesWithTech(doc: DataFrame): DataFrame = {
     val tech = doc.select(explode(map_entries(col("experiments"))).as("e"))
       .select(col("e.key").as("study"),
         col("e.value.technology").as("raw_tech"),
