@@ -224,6 +224,49 @@ object SparkEntry {
 
   private val pointReadDump = "/tmp/graft_oracle/cdc_change_events_ptr"
   private val rangeReadDump = "/tmp/graft_oracle/cdc_change_events_rng"
+  private val renameDropDump = "/tmp/graft_oracle/cdc_change_events_rnd"
+
+  /** S7 rename/drop evolution on the driver-checked path: a custom
+    * registry whose v2 RENAMES `tool` → `tool_name` and DROPS `role`.
+    * The generator's LSN-staged schema_ver (v1 below 60% of the stream)
+    * makes the first epochs write v1 files and later epochs v2, so the
+    * final read exercises both evolution directions at once: v1-written
+    * files read under the new name / without the dropped column
+    * (conformVersioned), while the wire events — which always carry the
+    * OLD `tool` column — feed the renamed target through the alias probe
+    * (conformEvents). The oracle restates it as a projection: LWW winners
+    * with `tool AS tool_name` and no `role`.
+    */
+  private def renameDropReplay(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cfg = GenConfig(numEvents = 2000L)
+    ChangeGen.events(spark, cfg).toDF().coalesce(1).write.mode("overwrite")
+      .parquet(renameDropDump)
+    val v1 = graft.model.Model.transcriptSchemaV2 // (conv_id, turn_idx, role, text, tool, ts)
+    val v2 = StructType(v1.fields.filterNot(_.name == "role").map {
+      case f if f.name == "tool" => f.copy(name = "tool_name")
+      case f => f
+    })
+    val root = java.nio.file.Files.createTempDirectory("graft-rnd-").toString + "/transcripts"
+    val table = LakeTable.create(spark, root, schemaVer = 1, numBuckets = 8,
+      registry = Map(1 -> v1, 2 -> v2),
+      renames = Map(2 -> Map("tool" -> "tool_name")))
+    val batches = 4
+    val per = (cfg.totalRows + batches - 1) / batches
+    (0 until batches).foreach { b =>
+      val slice = ChangeGen.eventSlice(spark, cfg, b * per, math.min(cfg.totalRows, (b + 1) * per))
+      MergeApply.applyBatch(table, slice.toDF(), epochId = b.toLong)
+    }
+    table.read().orderBy("conv_id", "turn_idx")
+  }
+
+  private val renameDropOracle: String =
+    s"""SELECT conv_id, turn_idx, text, tool AS tool_name, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY lsn DESC) AS rn
+          FROM read_parquet('$renameDropDump/*.parquet'))
+        WHERE rn = 1 AND op <> 'D'
+        ORDER BY conv_id, turn_idx"""
 
   /** Stats-pruned read paths on the driver-checked path: replay 4 epochs
     * (≤4 files per bucket — manifest min/max skipping has real work to
@@ -295,7 +338,10 @@ object SparkEntry {
           _.readKey("conv-000003")))) +
       ("cdc_range_read" ->
         ((s: SparkSession, _: String) => keyReadReplay(s, rangeReadDump,
-          _.readKeyRange("conv-000100", "conv-000149"))))
+          _.readKeyRange("conv-000100", "conv-000149")))) +
+      // S7 rename/drop schema evolution mid-replay under the LWW oracle
+      ("cdc_replay_rename_drop" ->
+        ((s: SparkSession, _: String) => renameDropReplay(s)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -311,6 +357,7 @@ object SparkEntry {
       ("cdc_replay_rebucket" -> rebucketOracle) +
       ("cdc_point_read" -> keyReadOracle(pointReadDump, "conv_id = 'conv-000003'")) +
       ("cdc_range_read" -> keyReadOracle(rangeReadDump,
-        "conv_id BETWEEN 'conv-000100' AND 'conv-000149'")))
+        "conv_id BETWEEN 'conv-000100' AND 'conv-000149'")) +
+      ("cdc_replay_rename_drop" -> renameDropOracle))
       .map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
