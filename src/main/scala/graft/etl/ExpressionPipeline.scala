@@ -248,7 +248,51 @@ object ExpressionPipeline {
           ORDER BY l.gene_id, l.sample_accession_code"""
     })
 
-  val all: Seq[graft.analytics.RelationalQueries.Q] = Seq(s1, ep1)
+  /** M5/J5 ▸ [[idempotentAppend]] on the driver-checked path: the incoming
+    * batch replays file A in full (already loaded — every row must drop)
+    * and carries file B twice (in-batch duplicate — must land once). The
+    * oracle restates the guard with DISTINCT + NOT EXISTS over null-safe
+    * equality (reference: staging PK + content-hash batch id,
+    * Scripts/database_schema.sql:211).
+    */
+  private val m5TsvA = "/tmp/graft_oracle/expr_matrix_m5a.tsv"
+  private val m5TsvB = "/tmp/graft_oracle/expr_matrix_m5b.tsv"
+
+  val m5: graft.analytics.RelationalQueries.Q = graft.analytics.RelationalQueries.Q(
+    "m5_idempotent_append",
+    (spark, _) => {
+      graft.sources.JsonMetadata.writeFixture(m5TsvA, fixtureTsv(seed = 7L))
+      graft.sources.JsonMetadata.writeFixture(m5TsvB, fixtureTsv(seed = 11L))
+      val a = melt(readMatrix(spark, m5TsvA), "SRP000001", "a.tsv", "ha")
+      val b = melt(readMatrix(spark, m5TsvB), "SRP000001", "b.tsv", "hb")
+      val incoming = a.unionByName(b).unionByName(b)
+      idempotentAppend(target = a, incoming = incoming)
+        .select(col("file_hash"), col("gene_id"), col("sample_accession_code"),
+          round(col("expression_value"), 4).as("expression_value"))
+        .orderBy("file_hash", "gene_id", "sample_accession_code")
+    },
+    Some(s"""WITH a AS (SELECT 'ha' AS file_hash, Gene AS gene_id,
+                    sample_accession_code, expression_value
+             FROM (UNPIVOT (SELECT * FROM read_csv('$m5TsvA', delim='\t', header=true))
+                   ON COLUMNS(* EXCLUDE (Gene))
+                   INTO NAME sample_accession_code VALUE expression_value)),
+          b AS (SELECT 'hb' AS file_hash, Gene AS gene_id,
+                    sample_accession_code, expression_value
+             FROM (UNPIVOT (SELECT * FROM read_csv('$m5TsvB', delim='\t', header=true))
+                   ON COLUMNS(* EXCLUDE (Gene))
+                   INTO NAME sample_accession_code VALUE expression_value)),
+          ded AS (SELECT DISTINCT * FROM (
+                    SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM b))
+          SELECT d.file_hash, d.gene_id, d.sample_accession_code,
+                 round(d.expression_value, 4) AS expression_value
+          FROM ded d
+          WHERE NOT EXISTS (SELECT 1 FROM a
+            WHERE a.file_hash IS NOT DISTINCT FROM d.file_hash
+              AND a.gene_id IS NOT DISTINCT FROM d.gene_id
+              AND a.sample_accession_code IS NOT DISTINCT FROM d.sample_accession_code)
+          ORDER BY d.file_hash, d.gene_id, d.sample_accession_code"""))
+
+  val all: Seq[graft.analytics.RelationalQueries.Q] = Seq(s1, ep1, m5)
 
   /** M5/J5 ▸ idempotent append: anti-join away rows whose
     * (file_hash, gene_id, sample) identity is already in the target —
