@@ -1361,7 +1361,7 @@ final class LakeTable(
     */
   def expireSnapshots(keepLast: Int = 2,
       orphanGraceMs: Long = defaultOrphanGraceMs,
-      olderThanMs: Long = -1L): Unit = {
+      olderThanMs: Long = -1L): ExpiryReport = {
     val ids = snapshotIds
     val curId = current.id
     val youngEnough: Set[Long] =
@@ -1380,18 +1380,21 @@ final class LakeTable(
     val live: Set[String] = keptSnaps.flatMap(_.files.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     // delete dead snapshot manifests (id-based: never younger than kept)
-    ids.filterNot(keep).foreach(id => fs.delete(snapPath(id), false))
+    val deadSnaps = ids.filterNot(keep)
+    deadSnaps.foreach(id => fs.delete(snapPath(id), false))
     // delete group manifests no kept snapshot references (expired
     // snapshots' groups + orphans from lost commit-claim races), unless
     // young enough to be an in-flight commit's pre-claim write
     val liveRefs: Set[String] = keptSnaps.flatMap(_.groupRefs.map(_.path)).toSet
-    fs.listStatus(metaDir)
+    val deadRefs = fs.listStatus(metaDir)
       .filter(st => st.getPath.getName.startsWith("m-") &&
         st.getPath.getName.endsWith(".json") &&
         !liveRefs.contains(st.getPath.getName) &&
         st.getModificationTime < cutoff)
-      .foreach(st => fs.delete(st.getPath, false))
+    deadRefs.foreach(st => fs.delete(st.getPath, false))
     // delete orphan data files, same grace
+    var dirsReclaimed = 0
+    var filesDeleted = 0
     val dataDir = new Path(rootPath, "data")
     if (fs.exists(dataDir)) {
       val it = fs.listFiles(dataDir, true)
@@ -1419,6 +1422,7 @@ final class LakeTable(
         }
       }
       dead.foreach(p => fs.delete(p, false))
+      filesDeleted = dead.size
       // Reclaim EMPTIED commit directories: every writeDataFiles call
       // creates one c<ts>-<uuid> dir, so without this the data/ tree
       // grows by one dir per epoch forever and each expiry's recursive
@@ -1436,12 +1440,25 @@ final class LakeTable(
         catch { case _: java.io.FileNotFoundException => false }
       fs.listStatus(dataDir).foreach { st =>
         if (st.isDirectory && !liveCommitDirs.contains(st.getPath.getName) &&
-          st.getModificationTime < cutoff && !inFlight(st.getPath))
+          st.getModificationTime < cutoff && !inFlight(st.getPath)) {
           fs.delete(st.getPath, true)
+          dirsReclaimed += 1
+        }
       }
     }
+    ExpiryReport(deadSnaps.size, deadRefs.length, filesDeleted, dirsReclaimed)
   }
 }
+
+/** What one [[LakeTable.expireSnapshots]] pass reclaimed — returned so a
+  * maintenance scheduler or monitoring channel can record retention
+  * activity without re-listing the tree it just swept.
+  */
+final case class ExpiryReport(
+    snapshotsDeleted: Int,
+    groupManifestsDeleted: Int,
+    dataFilesDeleted: Int,
+    commitDirsReclaimed: Int)
 
 object LakeTable {
 

@@ -57,8 +57,12 @@ class ExpirySpec extends AnyFunSuite {
     assert(maint.getBoolean(maint.fieldIndex("is_maintenance")))
     assert(maint.getLong(maint.fieldIndex("epoch_id")) == 1L)
     assert(h.forall(r => !r.isNullAt(r.fieldIndex("committed_at"))))
-    table.expireSnapshots(keepLast = 1, orphanGraceMs = 0L)
+    val report = table.expireSnapshots(keepLast = 1, orphanGraceMs = 0L)
     assert(table.history.count() == 1L)
+    // the report reflects the sweep: 3 of 4 snapshots dropped, and the
+    // compaction-replaced data files actually left the tree
+    assert(report.snapshotsDeleted == 3, report.toString)
+    assert(report.dataFilesDeleted > 0, report.toString)
   }
 
   test("age-based retention keeps young snapshots beyond keepLast, drops old ones") {
