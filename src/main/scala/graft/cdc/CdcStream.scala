@@ -201,8 +201,12 @@ object CdcStream {
         if (cfg.expireEveryEpochs > 0 &&
           epochId % cfg.expireEveryEpochs == (cfg.expireEveryEpochs - 1))
           Retry.run(cfg.retry, s"epoch $epochId expiry") {
-            table.expireSnapshots(cfg.expireKeepLast, cfg.expireOrphanGraceMs,
+            val r = table.expireSnapshots(cfg.expireKeepLast, cfg.expireOrphanGraceMs,
               cfg.expireOlderThanMs)
+            // retention activity is part of the stream's operational log
+            if (r.snapshotsDeleted + r.dataFilesDeleted + r.commitDirsReclaimed > 0)
+              System.err.println(s"[stream] epoch $epochId expiry: $r")
+            r
           }
         ()
       }
